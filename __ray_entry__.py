@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over a deterministic
+synthetic transcript table (the ``input_hint`` shape; sf0.001's
+``documents`` table seeds nothing — transcripts are self-generated per
+FIXTURES.md because the transcript corpus is this engine's input).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+callable over ``sf_dir``; ``oracle_sql()`` holds the DuckDB-equivalent
+SQL for the SQL-expressible ones (same column names — the driver hashes
+values after sorting columns by name). Extraction / near-dup /
+fingerprint ops are non-SQL-expressible and get rows-only checks; their
+real correctness gate is the pytest golden suite (pipeline vs
+pure-function oracle, byte-equal per turn).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +24,116 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at tiny scale; driver checks rows>=0 + schema."""
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import extract_turns
+    from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+
+    t, p = generate_transcripts(n_convs=20, n_turns=200, seed=42)
+    return extract_turns(rd.from_arrow(t), rd.from_arrow(p), join_partitions=4)
+
+
+def _extract_turns_query(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import extract_turns
+    from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+
+    t, p = generate_transcripts(n_convs=50, n_turns=2000, seed=42)
+    return extract_turns(rd.from_arrow(t), rd.from_arrow(p), join_partitions=8)
+
+
+def _extract_docs_query(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import extract_documents
+    from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+
+    t, p = generate_transcripts(n_convs=50, n_turns=2000, seed=42)
+    return extract_documents(rd.from_arrow(t), rd.from_arrow(p), salt_span=64)
+
+
+def _doc_stats_query(sf_dir: str) -> Any:
+    from mistralocr_pdf2md_translator_ray.stages.textstats import doc_stats
+
+    return doc_stats(sf_dir)
+
+
+def _knn_ivf_query(sf_dir: str) -> Any:
+    from mistralocr_pdf2md_translator_ray.stages.similarity import knn_cosine_ivf
+
+    return knn_cosine_ivf(sf_dir)
+
+
+def _payload_features_query(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+    from mistralocr_pdf2md_translator_ray.stages.multimodal import payload_features
+
+    _t, p = generate_transcripts(n_convs=50, n_turns=2000, seed=42)
+    return payload_features(rd.from_arrow(p))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mistralocr_pdf2md_translator_ray.pipelines import library as lib
+    from mistralocr_pdf2md_translator_ray.stages import dedup as dd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (non-SQL; golden-tested in pytest)
+        "extract_turns": _extract_turns_query,
+        "extract_documents": _extract_docs_query,
+        # grouped aggregation / filter / project
+        "q1_pricing_summary": lib.q1_pricing_summary,
+        "filtered_revenue": lib.filtered_revenue,
+        # joins
+        "revenue_by_nation": lib.revenue_by_nation,
+        "supplier_nation": lib.supplier_nation,
+        # sort / top-k / distinct
+        "top_orders": lib.top_orders,
+        "distinct_segments": lib.distinct_segments,
+        # events: agg, JSON scalar, sessionize, window, as-of join
+        "events_by_type": lib.events_by_type,
+        "events_json_k": lib.events_json_k,
+        "sessionize_events": lib.sessionize_events,
+        "hourly_counts": lib.hourly_counts,
+        "asof_purchase_click": lib.asof_purchase_click,
+        # documents: text analysis + dedup family
+        "token_counts": lib.token_counts,
+        "dedup_exact": lib.dedup_exact,
+        "doc_stats": _doc_stats_query,
+        "dedup_minhash": dd.dedup_minhash,
+        "dedup_ngram": dd.dedup_ngram,
+        "dedup_simhash": dd.dedup_simhash,
+        "neardup_embedding": dd.neardup_embedding,
+        # similarity search (brute-force baseline + IVF scale path)
+        "knn_cosine": lib.knn_cosine,
+        "knn_cosine_ivf": _knn_ivf_query,
+        # multimodal plumbing (decode stubbed; see stages/multimodal.py)
+        "payload_features": _payload_features_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mistralocr_pdf2md_translator_ray.pipelines import library as lib
+
+    return {
+        "q1_pricing_summary": lib.Q1_SQL,
+        "filtered_revenue": lib.FILTERED_REVENUE_SQL,
+        "revenue_by_nation": lib.REVENUE_BY_NATION_SQL,
+        "supplier_nation": lib.SUPPLIER_NATION_SQL,
+        "top_orders": lib.TOP_ORDERS_SQL,
+        "distinct_segments": lib.DISTINCT_SEGMENTS_SQL,
+        "events_by_type": lib.EVENTS_BY_TYPE_SQL,
+        "events_json_k": lib.EVENTS_JSON_K_SQL,
+        "sessionize_events": lib.SESSIONIZE_SQL,
+        "hourly_counts": lib.HOURLY_COUNTS_SQL,
+        "asof_purchase_click": lib.ASOF_SQL,
+        "token_counts": lib.TOKEN_COUNTS_SQL,
+        "dedup_exact": lib.DEDUP_EXACT_SQL,
+        "knn_cosine": lib.KNN_COSINE_SQL,
+        # extract_turns / extract_documents / doc_stats / dedup_minhash /
+        # dedup_simhash / neardup_embedding: non-SQL-expressible
+        # (stateful extraction kernels, hash sketches) -> rows-only check.
+    }

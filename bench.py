@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline extraction pipeline over a deterministic synthetic
+transcript corpus (cached under /tmp, shared by both scaling runs) plus
+the library queries over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``), and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``bench.py --scaling`` re-runs the whole thing in two fresh processes
+(``RAY_GRAFT_CPUS=8`` then ``32``) on the same input and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for the
+north-rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
+CORPUS_SHARDS = 8
+CORPUS_TURNS_PER_SHARD = 30_000
+
+
+def _ensure_corpus() -> tuple[str, str]:
+    """Generate the bench transcript corpus once; reused (and page-cache
+    warmed) across scaling runs."""
+    import ray
+
+    from mistralocr_pdf2md_translator_ray.sources.transcripts import (
+        write_transcripts_parquet,
+    )
+
+    t_dir = os.path.join(CORPUS_DIR, "transcripts")
+    p_dir = os.path.join(CORPUS_DIR, "payloads")
+    marker = os.path.join(CORPUS_DIR, "_complete")
+    if os.path.exists(marker):
+        return t_dir, p_dir
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    write_transcripts_parquet(
+        CORPUS_DIR,
+        n_shards=CORPUS_SHARDS,
+        turns_per_shard=CORPUS_TURNS_PER_SHARD,
+        convs_per_shard=60,
+    )
+    open(marker, "w").close()
+    return t_dir, p_dir
+
+
+def _consume(ds) -> int:
+    """Exhaust a Dataset streaming-style; returns row count."""
+    n = 0
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+
+    from mistralocr_pdf2md_translator_ray.pipelines import library as lib
+    from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+        extract_documents,
+        extract_turns,
+    )
+    from mistralocr_pdf2md_translator_ray.stages import dedup as dd
+    from mistralocr_pdf2md_translator_ray.stages.textstats import doc_stats
+
+    t_dir, p_dir = _ensure_corpus()
+
+    # warm the page cache so both scaling runs measure compute+shuffle
+    _consume(rd.read_parquet(t_dir, columns=["conv_id"]))
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        counts[name] = _consume(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- headline: flagship per-turn extraction over the corpus -------
+    t0 = time.perf_counter()
+    n_turns = _consume(
+        extract_turns(rd.read_parquet(t_dir), rd.read_parquet(p_dir))
+    )
+    headline_sec = round(time.perf_counter() - t0, 3)
+    turns_per_sec = round(n_turns / headline_sec, 1)
+
+    # document assembly (adds the salted conv_id shuffle)
+    timed("extract_documents", lambda: extract_documents(
+        rd.read_parquet(t_dir), rd.read_parquet(p_dir)))
+
+    # --- library queries over the sf dir ------------------------------
+    timed("q1_pricing_summary", lambda: lib.q1_pricing_summary(SF_DIR))
+    timed("filtered_revenue", lambda: lib.filtered_revenue(SF_DIR))
+    timed("revenue_by_nation", lambda: lib.revenue_by_nation(SF_DIR))
+    timed("top_orders", lambda: lib.top_orders(SF_DIR))
+    timed("events_by_type", lambda: lib.events_by_type(SF_DIR))
+    timed("sessionize_events", lambda: lib.sessionize_events(SF_DIR))
+    timed("hourly_counts", lambda: lib.hourly_counts(SF_DIR))
+    timed("asof_purchase_click", lambda: lib.asof_purchase_click(SF_DIR))
+    timed("token_counts", lambda: lib.token_counts(SF_DIR))
+    timed("dedup_exact", lambda: lib.dedup_exact(SF_DIR))
+    timed("dedup_minhash", lambda: dd.dedup_minhash(SF_DIR))
+    timed("knn_cosine", lambda: lib.knn_cosine(SF_DIR))
+    timed("doc_stats", lambda: doc_stats(SF_DIR))
+
+    result = {
+        "metric": "headline extract_turns wall sec (synthetic transcript corpus)",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": {"extract_turns": headline_sec, **timings},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_turns": n_turns,
+        "turns_per_sec": turns_per_sec,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes at 8 and 32 CPUs (N vs 4N proxy)."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["turns_per_sec"]
+    tput_hi = hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (8 -> 32 CPUs, fresh processes)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "turns_per_sec_8": tput_lo,
+        "turns_per_sec_32": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "corpus_turns": hi["corpus_turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,223 @@
+"""HTML main-content extraction: boilerplate strip via block scoring.
+
+Deterministic replacement for the reference's document->page-markdown
+extractor (``mistralocr_app.py:225-247`` delegates this to a remote OCR
+model; per BASELINE.json ``north_star`` we substitute a
+Readability/trafilatura-style text-density + link-density heuristic).
+
+Built on the stdlib ``html.parser`` (lxml/selectolax are not available
+in this environment). The parser is lenient, so malformed HTML degrades
+gracefully instead of raising.
+
+Algorithm
+---------
+1. Parse into a flat list of *blocks* — one per block-level element that
+   directly holds text (p, h1..h6, li, pre, blockquote, td/th rows are
+   merged per tr).
+2. Each block records: tag, text, number of link characters (text inside
+   <a>), and whether any ancestor is a boilerplate container
+   (nav/header/footer/aside/form/script/style/template/button/select).
+3. Keep a block iff it is not inside a boilerplate container AND its
+   link density (link_chars / chars) < 0.33 AND (it is a heading, a code
+   block, or its text length >= MIN_TEXT_LEN).
+4. Emit Markdown: headings -> ATX #, li -> "- ", pre -> fenced code,
+   blockquote -> "> ", tr -> pipe-table row, p/div -> paragraph.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+MIN_TEXT_LEN = 25
+MAX_LINK_DENSITY = 0.33
+
+_BOILERPLATE_TAGS = frozenset(
+    {"nav", "header", "footer", "aside", "form", "script", "style",
+     "template", "button", "select", "noscript", "iframe"}
+)
+_BLOCK_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote",
+     "td", "th", "tr", "div", "article", "section", "main", "table",
+     "ul", "ol", "body", "html", "figcaption", "caption"}
+)
+# Tags whose own direct text forms an emitted block.
+_LEAF_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote",
+     "figcaption", "caption"}
+)
+_HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}
+
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n{2,}")
+
+
+def _collapse_ws(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+class _Block:
+    __slots__ = ("tag", "parts", "link_chars", "boiler", "cells")
+
+    def __init__(self, tag: str, boiler: bool):
+        self.tag = tag
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.boiler = boiler
+        self.cells: list[str] | None = [] if tag == "tr" else None
+
+    @property
+    def text(self) -> str:
+        return _collapse_ws("".join(self.parts))
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._stack: list[str] = []
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._cur: _Block | None = None
+        self._cell_parts: list[str] | None = None
+
+    # -- helpers ---------------------------------------------------------
+    def _open_block(self, tag: str) -> None:
+        self._flush()
+        self._cur = _Block(tag, self._boiler_depth > 0)
+
+    def _flush(self) -> None:
+        b = self._cur
+        if b is None:
+            return
+        self._cur = None
+        if b.cells is not None:
+            if self._cell_parts is not None:
+                b.cells.append(_collapse_ws("".join(self._cell_parts)))
+                self._cell_parts = None
+            b.cells = [c for c in b.cells if c]
+            if b.cells:
+                self.blocks.append(b)
+            return
+        if b.text:
+            self.blocks.append(b)
+
+    # -- HTMLParser hooks ------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        self._stack.append(tag)
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag == "br":
+            self._stack.pop()
+            if self._cur is not None:
+                (self._cell_parts if self._cell_parts is not None
+                 else self._cur.parts).append(" ")
+            return
+        if tag in ("td", "th") and self._cur is not None and self._cur.cells is not None:
+            if self._cell_parts is not None:
+                self._cur.cells.append(_collapse_ws("".join(self._cell_parts)))
+            self._cell_parts = []
+            return
+        if tag == "tr":
+            self._open_block("tr")
+            return
+        if tag in _LEAF_TAGS:
+            self._open_block(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        # pop matching open tag (lenient on malformed nesting)
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                del self._stack[i]
+                break
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in ("td", "th") and self._cur is not None and self._cur.cells is not None:
+            if self._cell_parts is not None:
+                self._cur.cells.append(_collapse_ws("".join(self._cell_parts)))
+                self._cell_parts = None
+            return
+        if tag in _LEAF_TAGS or tag == "tr":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        if self._cur is None:
+            # bare text directly under a container: start an implicit <p>
+            if data.strip():
+                self._open_block("p")
+            else:
+                return
+        target = (self._cell_parts if self._cell_parts is not None
+                  else self._cur.parts)
+        target.append(data)
+        if self._link_depth > 0:
+            self._cur.link_chars += len(data.strip())
+
+    def close(self) -> None:  # type: ignore[override]
+        super().close()
+        self._flush()
+
+
+def _keep(b: _Block) -> bool:
+    if b.boiler:
+        return False
+    if b.tag in _HEADING_LEVEL or b.tag == "pre":
+        return bool(b.text or b.tag == "pre")
+    text = " | ".join(b.cells) if b.cells is not None else b.text
+    n = len(text)
+    if n == 0:
+        return False
+    if b.link_chars / n > MAX_LINK_DENSITY:
+        return False
+    if b.cells is not None:
+        return True
+    return n >= MIN_TEXT_LEN
+
+
+def _emit(b: _Block) -> str:
+    if b.tag in _HEADING_LEVEL:
+        return "#" * _HEADING_LEVEL[b.tag] + " " + b.text
+    if b.tag == "li":
+        return "- " + b.text
+    if b.tag == "pre":
+        return "```\n" + "".join(b.parts).strip("\n") + "\n```"
+    if b.tag == "blockquote":
+        return "> " + b.text
+    if b.cells is not None:
+        return "| " + " | ".join(b.cells) + " |"
+    return b.text
+
+
+def html_to_markdown(html: str) -> str:
+    """Extract main content from an HTML string as Markdown.
+
+    Deterministic; never raises on malformed input (stdlib parser is
+    lenient). Empty / whitespace-only input -> "".
+    """
+    if not html or not html.strip():
+        return ""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    kept = [b for b in p.blocks if _keep(b)]
+    out: list[str] = []
+    prev_tag = None
+    for b in kept:
+        line = _emit(b)
+        if out and not (
+            (b.tag == "li" and prev_tag == "li")
+            or (b.cells is not None and prev_tag == "tr")
+        ):
+            out.append("")
+        out.append(line)
+        prev_tag = "tr" if b.cells is not None else b.tag
+    return "\n".join(out).strip()

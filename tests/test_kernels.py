@@ -1,0 +1,226 @@
+"""Unit tests for the pure extraction kernels (no Ray needed)."""
+
+import json
+
+from mistralocr_pdf2md_translator_ray.functions import (
+    extract_child_payload,
+    extract_turn,
+    fingerprint64,
+    html_to_markdown,
+    join_pages,
+    lang_id,
+    layout_to_markdown,
+    normalize_markdown,
+    pretty_json,
+    process_turn,
+    quality_score,
+    sanitize_id,
+    splice_children,
+    strip_json_fences,
+    token_count,
+)
+
+
+class TestHtmlExtract:
+    def test_boilerplate_dropped(self):
+        html = (
+            "<body><nav><a href='/a'>home</a> <a href='/b'>about</a></nav>"
+            "<article><h1>Title</h1>"
+            "<p>This paragraph is clearly long enough to be kept by the scorer.</p>"
+            "</article>"
+            "<footer><p>copyright links and more links</p></footer></body>"
+        )
+        md = html_to_markdown(html)
+        assert "# Title" in md
+        assert "long enough to be kept" in md
+        assert "home" not in md
+        assert "copyright" not in md
+
+    def test_link_farm_dropped(self):
+        html = (
+            "<div><p><a href='/x'>click here</a> <a href='/y'>buy now</a> ok</p>"
+            "<p>Real content sentence that is long enough to stay in the output.</p></div>"
+        )
+        md = html_to_markdown(html)
+        assert "click here" not in md
+        assert "Real content" in md
+
+    def test_list_and_blockquote(self):
+        html = (
+            "<ul><li>First item with enough text to matter here</li>"
+            "<li>Second item also has plenty of text in it</li></ul>"
+            "<blockquote>A quoted sentence that should be preserved fine.</blockquote>"
+        )
+        md = html_to_markdown(html)
+        assert md.count("- ") == 2
+        assert "> A quoted sentence" in md
+
+    def test_pre_block(self):
+        md = html_to_markdown("<pre>x = 1\ny = 2</pre>")
+        assert md == "```\nx = 1\ny = 2\n```"
+
+    def test_table_rows(self):
+        html = (
+            "<table><tr><th>colA</th><th>colB</th></tr>"
+            "<tr><td>1</td><td>2</td></tr></table>"
+        )
+        md = html_to_markdown(html)
+        assert "| colA | colB |" in md
+        assert "| 1 | 2 |" in md
+
+    def test_empty_and_malformed(self):
+        assert html_to_markdown("") == ""
+        assert html_to_markdown("   ") == ""
+        # malformed nesting must not raise
+        html_to_markdown("<p>Unclosed <b>bold <p>another paragraph long enough to keep")
+
+    def test_unicode(self):
+        md = html_to_markdown("<article><p>数据流批处理合并排序洗牌表行列键值联接过滤分组窗口</p></article>")
+        assert "数据流" in md
+
+
+class TestLayout:
+    def test_single_column_reading_order(self):
+        doc = {"pages": [{"w": 612, "h": 792, "spans": [
+            {"x": 50, "y": 74, "w": 500, "h": 12, "text": "second line"},
+            {"x": 50, "y": 60, "w": 500, "h": 12, "text": "first line"},
+        ]}]}
+        assert layout_to_markdown(json.dumps(doc)) == "first line\nsecond line"
+
+    def test_two_columns_left_then_right(self):
+        spans = []
+        for i in range(3):
+            spans.append({"x": 50, "y": 60 + 14 * i, "w": 200, "h": 12, "text": f"L{i}"})
+            spans.append({"x": 330, "y": 60 + 14 * i, "w": 200, "h": 12, "text": f"R{i}"})
+        out = layout_to_markdown(json.dumps({"pages": [{"spans": spans}]}))
+        assert out.index("L2") < out.index("R0")
+
+    def test_paragraph_gap(self):
+        doc = {"pages": [{"spans": [
+            {"x": 50, "y": 60, "w": 500, "h": 12, "text": "para one"},
+            {"x": 50, "y": 120, "w": 500, "h": 12, "text": "para two"},
+        ]}]}
+        assert layout_to_markdown(json.dumps(doc)) == "para one\n\npara two"
+
+    def test_same_line_merge_x_order(self):
+        doc = {"pages": [{"spans": [
+            {"x": 200, "y": 60, "w": 100, "h": 12, "text": "world"},
+            {"x": 50, "y": 61, "w": 100, "h": 12, "text": "hello"},
+        ]}]}
+        assert layout_to_markdown(json.dumps(doc)) == "hello world"
+
+    def test_malformed_raises_value_error(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            layout_to_markdown('{"pages": [')
+        with pytest.raises(ValueError):
+            layout_to_markdown('{"nope": 1}')
+
+
+class TestMarkdownNormalize:
+    def test_setext_to_atx(self):
+        assert normalize_markdown("Title\n=====\n\nSub\n---") == "# Title\n\n## Sub"
+
+    def test_bullets_and_ordered(self):
+        assert normalize_markdown("* a\n+ b\n1) c") == "- a\n- b\n1. c"
+
+    def test_atx_spacing(self):
+        assert normalize_markdown("##Heading##") == "## Heading"
+        assert normalize_markdown("#  Spaced   ") == "# Spaced"
+
+    def test_table_normalization(self):
+        got = normalize_markdown("|a |b|\n|--|:-:|\n| 1|2 |")
+        assert got == "| a | b |\n| --- | :---: |\n| 1 | 2 |"
+
+    def test_fences_verbatim(self):
+        src = "```\n* not a bullet\n#notahead\n```"
+        assert normalize_markdown(src) == src
+
+    def test_blank_collapse_and_trim(self):
+        assert normalize_markdown("\n\n\na\n\n\n\nb\n\n") == "a\n\nb"
+
+    def test_idempotent(self):
+        src = "# T\n\n- a\n- b\n\n| x | y |\n| --- | --- |"
+        once = normalize_markdown(src)
+        assert normalize_markdown(once) == once
+
+
+class TestScalars:
+    def test_sanitize(self):
+        assert sanitize_id("my doc name") == "my_doc_name"
+
+    def test_fences(self):
+        assert strip_json_fences('```json\n{"a":1}\n```') == '{"a":1}'
+        assert strip_json_fences('```\n{}\n```') == "{}"
+
+    def test_pretty_json_roundtrip_and_error(self):
+        out, ok = pretty_json('{"b":1,"a":"é"}')
+        assert ok and '"é"' in out
+        out, ok = pretty_json("{broken")
+        assert not ok
+        obj = json.loads(out)
+        assert "error" in obj and obj["raw_output"] == "{broken"
+
+    def test_splice_left_outer(self):
+        md = "before\n\n![img-1](img-1)\n\nafter ![img-2](img-2)"
+        got = splice_children(md, {"img-1": '{"x": 1}'})
+        assert '```json\n{"x": 1}\n```' in got
+        assert "![img-2](img-2)" in got  # unmatched stays plain
+        assert got.count("![img-1](img-1)") == 1
+
+    def test_join_pages(self):
+        assert join_pages(["a", "b"]) == "a\n\n---\n\nb"
+
+
+class TestTextStats:
+    def test_token_count(self):
+        assert token_count("a b  c\n d") == 4
+        assert token_count("") == 0
+        assert token_count("   ") == 0
+
+    def test_lang_id(self):
+        assert lang_id("the cat sat on the mat and it was good") == "en"
+        assert lang_id("der hund ist nicht auf der straße und das ist gut") == "de"
+        assert lang_id("数据流批处理") == "zh"
+        assert lang_id("") == "und"
+        assert lang_id("zzz qqq xxx") == "und"
+
+    def test_quality_monotone_on_garbage(self):
+        good = quality_score("The quick brown fox jumps over the lazy dog and runs far away to the hills.")
+        bad = quality_score("!!! ??? ### $$$ %%% ^^^ &&&")
+        assert good > bad
+        assert quality_score("") == 0.0
+
+    def test_fingerprint_stability(self):
+        a = fingerprint64("Hello,   world!")
+        b = fingerprint64("hello, world!")
+        assert a == b  # whitespace/case-insensitive by construction
+        assert fingerprint64("different text") != a
+
+
+class TestTurnKernels:
+    def test_dispatch_and_error_value(self):
+        md, st, err = extract_turn('{"pages": [', "pdf_layout")
+        assert st == "error" and "ValueError" in err and md.startswith("--- ERROR:")
+        md, st, err = extract_turn("# plain", "markdown")
+        assert (md, st) == ("# plain", "ok")
+
+    def test_process_turn_order(self):
+        # splice happens BEFORE normalization: the fenced child JSON
+        # passes through normalize verbatim
+        text = "* item\n\n![img-0](img-0)"
+        md, st, _ = process_turn(text, "markdown", {"img-0": '{"k": 1}'})
+        assert st == "ok"
+        assert md.startswith("- item")
+        assert '```json\n{"k": 1}\n```' in md
+
+    def test_child_payload(self):
+        out, st = extract_child_payload(b'{"kind":"figure","caption":"hi"}', "img-9", "figure")
+        assert st == "ok"
+        obj = json.loads(out)
+        assert obj["file_name"] == "img-9"
+        assert obj["topics"] == ["figure"]
+        assert obj["ocr_contents"]["caption"] == "hi"
+        out, st = extract_child_payload(b"{broken", "img-9", "figure")
+        assert st == "error" and "error" in json.loads(out)

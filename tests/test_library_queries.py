@@ -1,0 +1,61 @@
+"""Driver-contract conformance: every queries() entry with an
+oracle_sql() runs against DuckDB on sf0.001 (fast local mirror of the
+driver's sf0.01 check — same comparison semantics: sorted columns,
+order-insensitive rows)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+SQL_QUERIES = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(name, ddb, ray_session):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = _normalize(_to_pandas(q(SF_DIR)))
+    exp = _normalize(ddb.sql(sql).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-9)
+
+
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(SQL_QUERIES))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, ray_session):
+    res = entry_mod.queries()[name](SF_DIR)
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert len(df.columns) >= 1

@@ -1,0 +1,97 @@
+"""Golden e2e tests: Ray pipeline output == pure-function oracle,
+byte-equal per turn under stable (conv_id, turn_idx) ordering —
+the BASELINE.json north-rule invariant."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import extract_turns
+from mistralocr_pdf2md_translator_ray.pipelines.oracle import (
+    oracle_assemble,
+    oracle_extract_turns,
+)
+
+
+def _as_sorted_pdf(tbl: pa.Table) -> pd.DataFrame:
+    return tbl.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+class TestPerTurnEquality:
+    def test_row_count_and_no_drops(self, tiny_fixture, pipeline_turns):
+        t, _ = tiny_fixture
+        assert len(pipeline_turns) == t.num_rows  # error rows kept, nothing dropped
+
+    def test_md_byte_equality(self, pipeline_turns, oracle_turns):
+        exp = _as_sorted_pdf(oracle_turns)
+        got = pipeline_turns[exp.columns.tolist()]
+        assert (got["md"].to_numpy() == exp["md"].to_numpy()).all()
+
+    def test_full_frame_equality(self, pipeline_turns, oracle_turns):
+        exp = _as_sorted_pdf(oracle_turns)
+        got = pipeline_turns[exp.columns.tolist()]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_error_rows_are_values(self, pipeline_turns):
+        errs = pipeline_turns[pipeline_turns["status"] == "error"]
+        assert len(errs) >= 1
+        assert errs["md"].str.startswith("--- ERROR:").all()
+
+    def test_children_spliced(self, pipeline_turns):
+        spliced = pipeline_turns[pipeline_turns["md"].str.contains("> 📄 Extracted:", regex=False)]
+        assert len(spliced) >= 1
+
+
+class TestPermutationInvariance:
+    """Shuffled input rows / different block split -> identical output."""
+
+    def test_shuffled_input_same_output(self, tiny_fixture, oracle_turns):
+        t, p = tiny_fixture
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        perm = rng.permutation(t.num_rows)
+        t_shuf = t.take(pa.array(perm))
+        # also split into many small blocks
+        tds = rd.from_arrow(t_shuf).repartition(9)
+        pds = rd.from_arrow(p).repartition(3)
+        got = (
+            extract_turns(tds, pds, join_partitions=3)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = _as_sorted_pdf(oracle_turns)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+class TestAssembly:
+    """Assembly is tested from the session-scoped per-turn result (one
+    extraction run per session; assembly itself is what's under test).
+    ``extract_documents`` is the composition of the two verified
+    halves."""
+
+    def _per_turn_ds(self, pipeline_turns):
+        # scramble row order so assembly can't ride on input order
+        shuffled = pipeline_turns.sample(frac=1.0, random_state=3)
+        return rd.from_arrow(pa.Table.from_pandas(shuffled, preserve_index=False))
+
+    def test_salted_assembly_equals_oracle(self, pipeline_turns, oracle_turns):
+        from mistralocr_pdf2md_translator_ray.stages.assemble import assemble_conversations
+
+        docs = (
+            assemble_conversations(self._per_turn_ds(pipeline_turns), salt_span=16)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        exp = oracle_assemble(oracle_turns).to_pandas()
+        pd.testing.assert_frame_equal(docs[exp.columns.tolist()], exp, check_dtype=False)
+
+    def test_unsalted_matches_salted(self, pipeline_turns, oracle_turns):
+        from mistralocr_pdf2md_translator_ray.stages.assemble import assemble_conversations
+
+        a = (
+            assemble_conversations(self._per_turn_ds(pipeline_turns), salt_span=None)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        exp = oracle_assemble(oracle_turns).to_pandas()
+        pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)

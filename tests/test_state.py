@@ -1,0 +1,121 @@
+"""Checkpoint / lineage / resume tests (SURVEY §4, north-rule resume)."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from mistralocr_pdf2md_translator_ray.state import (
+    load_lineage,
+    part_id_for_key,
+    run_checkpointed,
+)
+
+N_PARTS = 4
+
+
+def _input_table() -> pa.Table:
+    rows = 80
+    return pa.table({
+        "conv_id": pa.array([f"conv-{i % 10:03d}" for i in range(rows)]),
+        "turn_idx": pa.array([i // 10 for i in range(rows)], pa.int32()),
+        "text": pa.array([f"# t{i}\n\nbody {i}" for i in range(rows)]),
+    })
+
+
+def _transform_factory(marker_dir):
+    """Transform that records which part_ids it actually processed."""
+
+    def transform(ds):
+        def fn(t: pa.Table) -> pa.Table:
+            os.makedirs(marker_dir, exist_ok=True)
+            for p in set(t["part_id"].to_pylist()):
+                open(os.path.join(marker_dir, f"touched-{p}"), "w").close()
+            md = pa.array([s.upper() for s in t["text"].to_pylist()], pa.string())
+            return t.append_column("md", md).append_column(
+                "status", pa.array(["ok"] * t.num_rows, pa.string())
+            ).select(["conv_id", "turn_idx", "md", "status", "part_id"])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return transform
+
+
+def _read_sorted(ds) -> pd.DataFrame:
+    df = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return df[["conv_id", "turn_idx", "md", "status"]]
+
+
+class TestCheckpointResume:
+    def test_full_run_then_noop_resume(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        m1 = str(tmp_path / "m1")
+        ds = rd.from_arrow(_input_table())
+        out1 = _read_sorted(run_checkpointed(
+            ds, _transform_factory(m1), ckpt, key="conv_id", n_partitions=N_PARTS))
+        lineage = load_lineage(ckpt)
+        assert sorted(lineage) == list(range(N_PARTS))
+        assert sum(v["row_count"] for v in lineage.values()) == 80
+
+        # second run: nothing missing -> no partition touched, same output
+        m2 = str(tmp_path / "m2")
+        out2 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(m2), ckpt,
+            key="conv_id", n_partitions=N_PARTS))
+        assert not os.path.exists(m2)  # zero recompute
+        pd.testing.assert_frame_equal(out1, out2)
+
+    def test_partial_resume_recomputes_only_missing(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        m1 = str(tmp_path / "m1")
+        ds = rd.from_arrow(_input_table())
+        out1 = _read_sorted(run_checkpointed(
+            ds, _transform_factory(m1), ckpt, key="conv_id", n_partitions=N_PARTS))
+
+        # simulate a crash that lost partitions 1 and 3
+        lineage = load_lineage(ckpt)
+        victims = [1, 3]
+        for p in victims:
+            shutil.rmtree(os.path.join(ckpt, "data", f"part_id={p}"))
+            del lineage[p]
+        with open(os.path.join(ckpt, "_lineage.json"), "w") as f:
+            json.dump({str(k): v for k, v in lineage.items()}, f)
+
+        mtimes_before = {
+            p: os.path.getmtime(os.path.join(ckpt, "data", f"part_id={p}"))
+            for p in range(N_PARTS) if p not in victims
+        }
+        m2 = str(tmp_path / "m2")
+        out2 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(m2), ckpt,
+            key="conv_id", n_partitions=N_PARTS))
+
+        touched = sorted(int(f.split("-")[1]) for f in os.listdir(m2))
+        assert touched == victims  # ONLY the missing partitions recomputed
+        for p, mt in mtimes_before.items():
+            assert os.path.getmtime(os.path.join(ckpt, "data", f"part_id={p}")) == mt
+        pd.testing.assert_frame_equal(out1, out2)  # identical final output
+        assert sorted(load_lineage(ckpt)) == list(range(N_PARTS))
+
+    def test_lineage_hash_matches_content(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        ds = rd.from_arrow(_input_table())
+        run_checkpointed(ds, _transform_factory(str(tmp_path / "m")), ckpt,
+                         key="conv_id", n_partitions=N_PARTS)
+        l1 = load_lineage(ckpt)
+        # re-run from scratch in another dir: hashes must be identical
+        ckpt2 = str(tmp_path / "ckpt2")
+        run_checkpointed(rd.from_arrow(_input_table()),
+                         _transform_factory(str(tmp_path / "m2")), ckpt2,
+                         key="conv_id", n_partitions=N_PARTS)
+        l2 = load_lineage(ckpt2)
+        assert {k: v["content_hash"] for k, v in l1.items()} == \
+               {k: v["content_hash"] for k, v in l2.items()}
+
+
+def test_part_id_stable():
+    assert part_id_for_key("conv-000001", 16) == part_id_for_key("conv-000001", 16)
+    assert 0 <= part_id_for_key("anything", 7) < 7
