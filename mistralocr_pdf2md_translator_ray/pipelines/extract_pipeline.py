@@ -29,15 +29,15 @@ from typing import Optional
 import ray.data
 
 from ..stages.extract import (
+    CHILD_SCHEMA,
+    PARENT_SCHEMA,
     ChildExtractor,
     TurnExtractor,
-    collect_children_json,
     finalize_plain,
     finalize_with_children,
-    merge_parent_child,
-    tag_child_side,
-    tag_parent_side,
+    merge_children_into_parents,
 )
+from ..stages.joins import cogroup
 from ..stages.assemble import assemble_conversations
 
 # Actor-pool sizing: autoscaling pools (min 1 so several pools coexist
@@ -77,20 +77,23 @@ def extract_turns(
         lambda b: _route(b, False), batch_format="pyarrow"
     ).map_batches(TurnExtractor, batch_format="pyarrow", **EXTRACT_POOL)
 
-    child_agg = (
-        payloads.map_batches(ChildExtractor, batch_format="pyarrow", **CHILD_POOL)
-        .groupby(["conv_id", "turn_idx"])
-        .map_groups(collect_children_json, batch_format="pandas")
+    children = payloads.map_batches(
+        ChildExtractor, batch_format="pyarrow", **CHILD_POOL
     )
 
-    # Task-based co-group join on (conv_id, turn_idx) — left-outer for
-    # the parent side; see stages/extract.py for why this avoids the
-    # actor-backed JoinOperator.
-    tagged = with_ph.map_batches(tag_parent_side, batch_format="pyarrow").union(
-        child_agg.map_batches(tag_child_side, batch_format="pyarrow")
-    )
-    joined = tagged.groupby(["conv_id", "turn_idx"]).map_groups(
-        merge_parent_child, batch_format="pandas"
+    # Bucketed co-group join on (conv_id, turn_idx) — one shuffle with
+    # ~num_buckets groups; the child aggregation (A1 regroup) and the
+    # left-outer merge (J1) both run vectorized inside each bucket.
+    # See stages/joins.py for why this beats per-group map_groups and
+    # the actor-backed JoinOperator.
+    joined = cogroup(
+        with_ph,
+        children,
+        on=["conv_id", "turn_idx"],
+        merge_fn=merge_children_into_parents,
+        left_schema=PARENT_SCHEMA,
+        right_schema=CHILD_SCHEMA,
+        num_buckets=join_partitions * 4,
     )
     spliced = joined.map_batches(finalize_with_children, batch_format="pyarrow")
     plain_out = plain.map_batches(finalize_plain, batch_format="pyarrow")

@@ -176,13 +176,18 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 # ---------------------------------------------------------------------------
 
 def revenue_by_nation(sf_dir: str) -> "rd.Dataset":
-    """lineitem |><| orders (hash join) |><| customer->nation (broadcast).
+    """lineitem |><| orders (bucketed co-group hash join) with
+    customer->nation resolved via a broadcast lookup.
 
-    The two big tables use Ray's partitioned hash join; the
-    customer->nation and nation-name maps are tiny, so they ride the
-    object store once (``ray.put``) and every task probes them locally
-    — no extra shuffle.
+    Scale shape: lineitem pre-aggregates to one (orderkey, revenue)
+    partial row per orderkey per batch BEFORE the join shuffle (the
+    exchange moves partials, not line items); the join itself is the
+    generic bucketed co-group (stages/joins.py); the tiny
+    customer->nation and nation-name maps ride the object store once
+    (``ray.put``) and every merge task probes them locally.
     """
+    from ..stages.joins import cogroup
+
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
@@ -192,30 +197,41 @@ def revenue_by_nation(sf_dir: str) -> "rd.Dataset":
     nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
     lookup_ref = ray.put((cust_to_nation, nation_name))
 
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        c2n, n2name = ray.get(lookup_ref)
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         rev_u = np.floor(
             df["l_extendedprice"] * (1 - df["l_discount"]) * 10000 + 0.5
         ).astype("int64")
-        name = df["o_custkey"].map(c2n).map(n2name)
-        out = pd.DataFrame({"n_name": name, "rev": rev_u})
-        return out.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev": rev_u})
+        return out.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+
+    li_agg = li.map_batches(li_partial, batch_format="pandas", batch_size=65536)
+    orders_k = orders.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        c2n, n2name = ray.get(lookup_ref)
+        m = ldf.merge(rdf, on="l_orderkey", how="inner")
+        if m.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype=str),
+                                 "rev": pd.Series(dtype="int64")})
+        m["n_name"] = m["o_custkey"].map(c2n).map(n2name)
+        return m.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+
+    joined = cogroup(
+        li_agg,
+        orders_k,
+        on=["l_orderkey"],
+        merge_fn=merge,
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        num_buckets=32,
+    )
 
     from ray.data.aggregate import Sum
 
-    final = (
-        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("n_name")
-        .aggregate(Sum("rev", alias_name="rev"))
-    )
+    final = joined.groupby("n_name").aggregate(Sum("rev", alias_name="rev"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n_name": df["n_name"], "revenue": df["rev"] / 10000.0})
@@ -525,16 +541,15 @@ def dedup_exact(sf_dir: str) -> "rd.Dataset":
         h = pa.array([content_hash(s) for s in t["text"].to_pylist()], pa.string())
         return pa.table({"doc_id": t["doc_id"], "h": h})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].min())],
-            "n_dups": pd.array([len(g)], dtype="int64"),
-        })
+    from ray.data.aggregate import Count, Min
 
+    # vectorized grouped aggregate (never one UDF call per hash group)
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", batch_size=65536)
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Count(alias_name="n_dups"))
+        .select_columns(["doc_id", "n_dups"])
     )
 
 

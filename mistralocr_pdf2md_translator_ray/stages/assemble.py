@@ -1,26 +1,29 @@
 """Ordered document assembly (SURVEY.md A2/O2) with skew salting.
 
 The reference joins pages with ``"\\n\\n---\\n\\n"`` in list order
-(``mistralocr_app.py:716-717``). Distributed equivalent: group by
-``conv_id``, sort *inside the group* by ``(turn_idx, ts)``, join. Block
-order is never trusted.
+(``mistralocr_app.py:716-717``). Distributed equivalent: co-locate each
+conversation, sort *inside the group* by ``(turn_idx, ts)``, join.
+Block order is never trusted.
 
-Skew: one hot conversation can hold ~half of all turns (FIXTURES.md),
-which would funnel half the table through a single ``map_groups`` task.
-``assemble_conversations(salt_span=S)`` therefore runs a two-phase
-salted assembly:
+Two scale levers:
 
-  phase 1: salt = turn_idx // S  (contiguous ranges, so concatenating
-           per-salt partials in salt order == concatenating the whole
-           sorted conversation — splice associativity)
-           groupby(conv_id, salt) -> partial doc per range
-  phase 2: groupby(conv_id) over the much smaller partials -> final doc
-
-Separator algebra: ``sep.join(parts)`` where each part is
-``sep.join(chunk)`` equals ``sep.join(all turns)`` exactly.
+- **Bucketing**: grouping runs on ``crc32(key) % B`` buckets, not raw
+  conversation ids — one ``map_groups`` call per bucket with vectorized
+  pandas inside, never one UDF call per conversation (millions of tiny
+  groups would pay ~ms of per-group overhead each; see
+  stages/joins.py).
+- **Salting** (``salt_span``): one hot conversation can hold ~half of
+  all turns (FIXTURES.md). Phase 1 groups by (conv, salt) where
+  ``salt = turn_idx // span`` — contiguous ranges, so concatenating
+  per-salt partials in salt order equals concatenating the whole sorted
+  conversation (splice associativity: ``sep.join(parts)`` where each
+  part is ``sep.join(chunk)`` == ``sep.join(all)``). Phase 2 reduces
+  the much smaller partials per conversation.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import pandas as pd
 import pyarrow as pa
@@ -28,58 +31,83 @@ import pyarrow as pa
 from ..functions.scalars import PAGE_SEPARATOR
 
 
-def _assemble_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["turn_idx", "ts"], kind="mergesort")
-    return pd.DataFrame(
-        {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "n_turns": pd.array([len(g)], dtype="int64"),
-            "doc_md": [PAGE_SEPARATOR.join(g["md"].tolist())],
-        }
+def _bucket_col(keys: pa.ChunkedArray, B: int) -> pa.Array:
+    return pa.array(
+        [zlib.crc32(k.encode("utf-8")) % B for k in keys.to_pylist()], pa.int32()
     )
 
 
-def _assemble_partial(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["turn_idx", "ts"], kind="mergesort")
-    return pd.DataFrame(
-        {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "salt": pd.array([g["salt"].iloc[0]], dtype="int64"),
-            "n_turns": pd.array([len(g)], dtype="int64"),
-            "doc_md": [PAGE_SEPARATOR.join(g["md"].tolist())],
-        }
-    )
+def _assemble_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+    out = g.groupby("conv_id", sort=False).agg(
+        n_turns=("md", "size"), doc_md=("md", PAGE_SEPARATOR.join)
+    ).reset_index()
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out[["conv_id", "n_turns", "doc_md"]]
 
 
-def _assemble_final(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("salt", kind="mergesort")
-    return pd.DataFrame(
-        {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "n_turns": pd.array([int(g["n_turns"].sum())], dtype="int64"),
-            "doc_md": [PAGE_SEPARATOR.join(g["doc_md"].tolist())],
-        }
-    )
+def _partial_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["conv_id", "salt", "turn_idx", "ts"], kind="mergesort")
+    out = g.groupby(["conv_id", "salt"], sort=False).agg(
+        n_turns=("md", "size"), doc_md=("md", PAGE_SEPARATOR.join)
+    ).reset_index()
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out
 
 
-def assemble_conversations(per_turn_ds, salt_span: int | None = 256):
+def _final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["conv_id", "salt"], kind="mergesort")
+    out = g.groupby("conv_id", sort=False).agg(
+        n_turns=("n_turns", "sum"), doc_md=("doc_md", PAGE_SEPARATOR.join)
+    ).reset_index()
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out[["conv_id", "n_turns", "doc_md"]]
+
+
+def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
+                           num_buckets: int = 64):
     """per-turn Dataset (conv_id, turn_idx, ts, md, ...) -> one row per
     conversation (conv_id, n_turns, doc_md)."""
     ds = per_turn_ds.select_columns(["conv_id", "turn_idx", "ts", "md"])
+
     if salt_span is None:
-        return ds.groupby("conv_id").map_groups(_assemble_group, batch_format="pandas")
+        def add_bucket(t: pa.Table) -> pa.Table:
+            return t.append_column("b", _bucket_col(t["conv_id"], num_buckets))
+
+        return (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(_assemble_bucket, batch_format="pandas")
+        )
 
     span = int(salt_span)
 
-    def add_salt(batch: pa.Table) -> pa.Table:
+    def add_salt_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        salt = pc.divide(pc.cast(batch["turn_idx"], pa.int64()), span)
-        return batch.append_column("salt", salt)
+        salt = pc.divide(pc.cast(t["turn_idx"], pa.int64()), span)
+        convs = t["conv_id"].to_pylist()
+        b = pa.array(
+            [zlib.crc32(f"{c}\x1f{s}".encode("utf-8")) % num_buckets
+             for c, s in zip(convs, salt.to_pylist())],
+            pa.int32(),
+        )
+        return t.append_column("salt", salt).append_column("b", b)
 
     partials = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby(["conv_id", "salt"])
-        .map_groups(_assemble_partial, batch_format="pandas")
+        ds.map_batches(add_salt_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(_partial_bucket, batch_format="pandas")
     )
-    return partials.groupby("conv_id").map_groups(_assemble_final, batch_format="pandas")
+
+    def add_conv_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = [zlib.crc32(c.encode("utf-8")) % num_buckets
+                   for c in df["conv_id"]]
+        return df
+
+    return (
+        partials.map_batches(add_conv_bucket, batch_format="pandas")
+        .groupby("b")
+        .map_groups(_final_bucket, batch_format="pandas")
+    )

@@ -21,7 +21,6 @@ propagation (a few groupby rounds), noted inline.
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 
 import numpy as np
 import pandas as pd
@@ -82,29 +81,54 @@ def _keep_after_pairs(docs: "rd.Dataset", pairs: list[tuple[int, int]]) -> "rd.D
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
-def _candidate_pairs_from_buckets(bucket_rows: "rd.Dataset") -> list[tuple[int, int]]:
-    """groupby(band_key) -> all intra-bucket pairs (deduped)."""
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": pd.array(a, dtype="int64"),
-                             "b": pd.array(b, dtype="int64")})
+def _pairs_bucketed(bucket_rows: "rd.Dataset", group_pair_fn,
+                    num_buckets: int = 64) -> list[tuple[int, int]]:
+    """band_key rows -> verified-candidate pair list.
+
+    Groups by ``crc32(band_key) % B`` (B map_groups calls total — never
+    one per band, since almost every band bucket has exactly one member
+    and per-group UDF overhead would dominate). Inside a bucket, bands
+    with >= 2 members are found vectorized; ``group_pair_fn(sub)`` emits
+    pairs for one colliding band's rows.
+    """
+    import zlib
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pa.array(
+            [zlib.crc32(k.encode("utf-8")) % num_buckets
+             for k in t["band_key"].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("b", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_key", "doc_id"], kind="mergesort")
+        sizes = g.groupby("band_key")["doc_id"].transform("size")
+        g = g[sizes > 1]
+        a_out, b_out = [], []
+        for _, sub in g.groupby("band_key", sort=False):
+            for pair in group_pair_fn(sub):
+                a_out.append(pair[0])
+                b_out.append(pair[1])
+        return pd.DataFrame({"a": pd.array(a_out, dtype="int64"),
+                             "b": pd.array(b_out, dtype="int64")})
 
     pairs_df = (
-        bucket_rows.groupby("band_key")
-        .map_groups(emit_pairs, batch_format="pandas")
+        bucket_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
     if pairs_df.empty:
         return []
     return sorted(set(zip(pairs_df["a"], pairs_df["b"])))
+
+
+def _all_pairs(sub: pd.DataFrame):
+    ids = sorted(set(int(x) for x in sub["doc_id"]))
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            yield ids[i], ids[j]
 
 
 def _verify_jaccard(sf_dir: str, pairs: list[tuple[int, int]],
@@ -143,7 +167,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> "rd.Da
                          "doc_id": pa.array(ids, pa.int64())})
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
-    pairs = _candidate_pairs_from_buckets(buckets)
+    pairs = _pairs_bucketed(buckets, _all_pairs)
     verified = _verify_jaccard(sf_dir, pairs, char_shingles, threshold)
     return _keep_after_pairs(docs, verified)
 
@@ -164,7 +188,7 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.7, seed: int = 7) -> "rd.Datas
                          "doc_id": pa.array(ids, pa.int64())})
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
-    pairs = _candidate_pairs_from_buckets(buckets)
+    pairs = _pairs_bucketed(buckets, _all_pairs)
     verified = _verify_jaccard(sf_dir, pairs, word_ngrams, threshold)
     return _keep_after_pairs(docs, verified)
 
@@ -192,25 +216,17 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip((int(x) for x in g["doc_id"]),
-                              (int(h) for h in g["simhash"]))))
-        a, b = [], []
+    def hamming_pairs(sub: pd.DataFrame):
+        rows = sorted(set(zip((int(x) for x in sub["doc_id"]),
+                              (int(h) for h in sub["simhash"]))))
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
-                ha = np.int64(rows[i][1]).astype(np.uint64)
-                hb = np.int64(rows[j][1]).astype(np.uint64)
-                if hamming64(int(ha), int(hb)) <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-        return pd.DataFrame({"a": pd.array(a, dtype="int64"),
-                             "b": pd.array(b, dtype="int64")})
+                ha = int(np.int64(rows[i][1]).astype(np.uint64))
+                hb = int(np.int64(rows[j][1]).astype(np.uint64))
+                if rows[i][0] != rows[j][0] and hamming64(ha, hb) <= max_hamming:
+                    yield rows[i][0], rows[j][0]
 
-    pairs_df = (
-        buckets.groupby("band_key").map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    verified = sorted(set(zip(pairs_df["a"], pairs_df["b"]))) if not pairs_df.empty else []
+    verified = _pairs_bucketed(buckets, hamming_pairs)
     return _keep_after_pairs(docs, verified)
 
 
@@ -245,27 +261,19 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95, n_planes: int = 12,
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.array(g["doc_id"], dtype=np.int64)
+    def cosine_pairs(sub: pd.DataFrame):
+        ids = np.array(sub["doc_id"], dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
-        M = np.array([np.asarray(v) for v in g["vec"].to_numpy()[order]])
+        M = np.array([np.asarray(v) for v in sub["vec"].to_numpy()[order]])
         sims = M @ M.T
-        a, b = [], []
         iu = np.triu_indices(len(ids), k=1)
         hits = sims[iu] >= threshold
         for i, j, h in zip(iu[0], iu[1], hits):
             if h and ids[i] != ids[j]:
-                a.append(int(ids[i]))
-                b.append(int(ids[j]))
-        return pd.DataFrame({"a": pd.array(a, dtype="int64"),
-                             "b": pd.array(b, dtype="int64")})
+                yield int(ids[i]), int(ids[j])
 
-    pairs_df = (
-        buckets.groupby("band_key").map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    verified = sorted(set(zip(pairs_df["a"], pairs_df["b"]))) if not pairs_df.empty else []
+    verified = _pairs_bucketed(buckets, cosine_pairs)
     keep_docs = ds.map_batches(
         lambda t: pa.table({"doc_id": pa.array(t["vec_id"].to_pylist(), pa.int64())}),
         batch_format="pyarrow",

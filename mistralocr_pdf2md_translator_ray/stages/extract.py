@@ -72,24 +72,6 @@ class ChildExtractor:
         )
 
 
-def collect_children_json(group) -> "pa.Table":
-    """``map_groups`` reducer: one row per (conv_id, turn_idx) with the
-    children as a deterministic JSON map (sorted by payload_id) — the
-    Arrow-friendly stand-in for the reference's ``ocr_by_page`` nested
-    dict (``mistralocr_app.py:513-519``)."""
-    import pandas as pd
-
-    g = group.sort_values("payload_id")
-    children = dict(zip(g["payload_id"], g["extracted"]))
-    return pd.DataFrame(
-        {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "turn_idx": [g["turn_idx"].iloc[0]],
-            "children_json": [json.dumps(children, ensure_ascii=False, sort_keys=True)],
-        }
-    )
-
-
 _OUT_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "md", "n_tokens", "status", "error"]
 
 
@@ -98,7 +80,7 @@ def _finalize(batch: pa.Table, children_col: bool) -> pa.Table:
     ch = batch["children_json"].to_pylist() if children_col else [None] * len(raws)
     mds, ntoks = [], []
     for raw, cj in zip(raws, ch):
-        if cj:
+        if isinstance(cj, str) and cj:  # guard NaN/None from the left join
             raw = splice_children(raw, json.loads(cj))
         md = normalize_markdown(raw)
         mds.append(md)
@@ -121,54 +103,48 @@ def finalize_plain(batch: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# Task-based co-group join (J1): parent turns x aggregated children.
-#
-# Ray's native hash JoinOperator holds persistent aggregator actors; on
-# small CPU budgets those can be starved by the map actor pools (resource
-# livelock). The splice join instead uses the sort-based groupby shuffle
-# (plain tasks): tag both sides, union, group on the composite key, and
-# emit the parent row with its children_json attached. Left-outer
-# semantics: parents with no child group keep children_json = null.
+# Bucketed co-group merge (J1 + A1): runs inside stages/joins.cogroup.
+# The child aggregation (regroup by (conv,turn), the reference's
+# ``ocr_by_page``, mistralocr_app.py:513-519) and the left-outer merge
+# happen vectorized per bucket — never one UDF call per tiny group.
 # ---------------------------------------------------------------------------
 
-_PARENT_COLS = ["conv_id", "turn_idx", "role", "tool", "ts",
-                "raw_md", "status", "error"]
+PARENT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+    ("raw_md", pa.large_string()),
+    ("status", pa.string()),
+    ("error", pa.string()),
+])
+
+CHILD_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("payload_id", pa.string()),
+    ("extracted", pa.large_string()),
+])
 
 
-def tag_parent_side(batch: pa.Table) -> pa.Table:
-    n = batch.num_rows
-    return pa.table({
-        **{c: batch[c] for c in _PARENT_COLS},
-        "children_json": pa.nulls(n, pa.string()),
-        "side": pa.array([0] * n, pa.int8()),
-    })
-
-
-def tag_child_side(batch: pa.Table) -> pa.Table:
-    n = batch.num_rows
-    return pa.table({
-        "conv_id": batch["conv_id"],
-        "turn_idx": pa.compute.cast(batch["turn_idx"], pa.int32()),
-        "role": pa.nulls(n, pa.string()),
-        "tool": pa.nulls(n, pa.string()),
-        "ts": pa.nulls(n, pa.timestamp("us")),
-        "raw_md": pa.nulls(n, pa.string()),
-        "status": pa.nulls(n, pa.string()),
-        "error": pa.nulls(n, pa.string()),
-        "children_json": batch["children_json"],
-        "side": pa.array([1] * n, pa.int8()),
-    })
-
-
-def merge_parent_child(g) -> "pa.Table":
-    """map_groups merger: 1 parent row (side=0) + optional 1 child row
-    (side=1) -> parent row carrying children_json."""
+def merge_children_into_parents(ldf, rdf):
+    """cogroup merge_fn: parents (ldf) left-join aggregated children
+    (rdf) on (conv_id, turn_idx); children collapse to a deterministic
+    JSON map sorted by payload_id."""
     import pandas as pd
 
-    child = g[g["side"] == 1]
-    parent = g[g["side"] == 0].copy()
-    if parent.empty:  # orphan children (payload rows with no parent turn)
-        return parent.drop(columns=["side"])
-    cj = child["children_json"].iloc[0] if len(child) else None
-    parent["children_json"] = cj
-    return parent.drop(columns=["side"])
+    if ldf.empty:
+        return ldf.assign(children_json=pd.Series(dtype=object))
+    if rdf.empty:
+        return ldf.assign(children_json=None)
+    rdf = rdf.sort_values(["conv_id", "turn_idx", "payload_id"], kind="mergesort")
+    agg = (
+        rdf.groupby(["conv_id", "turn_idx"], sort=False)
+        .apply(lambda g: json.dumps(dict(zip(g["payload_id"], g["extracted"])),
+                                    ensure_ascii=False, sort_keys=True),
+               include_groups=False)
+        .rename("children_json")
+        .reset_index()
+    )
+    return ldf.merge(agg, on=["conv_id", "turn_idx"], how="left")

@@ -1,0 +1,94 @@
+"""Generic bucketed co-group join (partitioned hash join on tasks).
+
+Why not ``groupby(keys).map_groups``: Ray invokes the UDF once per
+group; with millions of tiny groups the per-group pandas overhead
+(~5 ms) dwarfs the work (observed: 180 s of overhead for 8 s of real
+extraction). Why not ``Dataset.join``: its persistent aggregator actors
+can be starved by map actor pools on small CPU budgets, and its
+shuffle showed high constant overhead.
+
+Pattern here: both sides get ``_bucket = crc32(key) % B``; a single
+sort-shuffle groups by the B buckets only; inside each bucket the merge
+is a vectorized ``pd.merge`` over thousands of rows. B bounds task
+parallelism of the merge stage — size it ~2-4x the cluster's cores.
+Skew note: a hot *key* is fine (it stays one bucket's pandas merge);
+if one bucket outgrows memory, raise B (keys are hashed, so buckets
+split evenly in expectation).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+SIDE_COL = "_side"
+BUCKET_COL = "_bucket"
+
+
+def _bucket_of(keys: list, B: int) -> list[int]:
+    return [zlib.crc32(str(k).encode("utf-8")) % B for k in keys]
+
+
+def _tag(ds: "rd.Dataset", schema: pa.Schema, on: list[str], side: int,
+         B: int) -> "rd.Dataset":
+    """Project to the union schema (missing columns -> typed nulls) and
+    add side + bucket columns."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for field in schema:
+            if field.name in t.column_names:
+                cols[field.name] = t[field.name].cast(field.type)
+            else:
+                cols[field.name] = pa.nulls(n, field.type)
+        key0 = t[on[0]].to_pylist()
+        if len(on) > 1:
+            key_parts = [t[c].to_pylist() for c in on]
+            keys = ["\x1f".join(str(v) for v in row) for row in zip(*key_parts)]
+        else:
+            keys = key0
+        cols[SIDE_COL] = pa.array([side] * n, pa.int8())
+        cols[BUCKET_COL] = pa.array(_bucket_of(keys, B), pa.int32())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cogroup(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: list[str],
+    merge_fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Co-partition two Datasets on ``on`` and merge per bucket.
+
+    ``merge_fn(ldf, rdf) -> DataFrame`` receives the bucket's rows from
+    each side (only that side's own columns) and runs vectorized pandas
+    logic (pd.merge / groupby-agg). One shuffle total, B groups.
+    """
+    union_fields: dict[str, pa.Field] = {}
+    for f in list(left_schema) + list(right_schema):
+        if f.name not in union_fields:
+            union_fields[f.name] = f
+    schema = pa.schema(list(union_fields.values()))
+    l_names = [f.name for f in left_schema]
+    r_names = [f.name for f in right_schema]
+
+    tagged = _tag(left, schema, on, 0, num_buckets).union(
+        _tag(right, schema, on, 1, num_buckets)
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ldf = g[g[SIDE_COL] == 0][l_names]
+        rdf = g[g[SIDE_COL] == 1][r_names]
+        return merge_fn(ldf, rdf)
+
+    return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
