@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": lib.sessionize_events,
         "hourly_counts": lib.hourly_counts,
         "asof_purchase_click": lib.asof_purchase_click,
+        # more grouped aggregates (calendar window, dimension stats)
+        "lang_counts": lib.lang_counts,
+        "part_brand_stats": lib.part_brand_stats,
+        "orders_by_month": lib.orders_by_month,
         # documents: text analysis + dedup family
         "token_counts": lib.token_counts,
         "dedup_exact": lib.dedup_exact,
@@ -130,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": lib.SESSIONIZE_SQL,
         "hourly_counts": lib.HOURLY_COUNTS_SQL,
         "asof_purchase_click": lib.ASOF_SQL,
+        "lang_counts": lib.LANG_COUNTS_SQL,
+        "part_brand_stats": lib.PART_BRAND_STATS_SQL,
+        "orders_by_month": lib.ORDERS_BY_MONTH_SQL,
         "token_counts": lib.TOKEN_COUNTS_SQL,
         "dedup_exact": lib.DEDUP_EXACT_SQL,
         "knn_cosine": lib.KNN_COSINE_SQL,

@@ -24,9 +24,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
-CORPUS_SHARDS = 8
+CORPUS_DIR = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus3")
+CORPUS_SHARDS = 48
 CORPUS_TURNS_PER_SHARD = 30_000
+HEADLINE_ONLY = os.environ.get("GRAFT_HEADLINE_ONLY", "") == "1"
 
 
 def _ensure_corpus() -> tuple[str, str]:
@@ -78,13 +79,9 @@ def run_bench() -> dict:
         logging_level="ERROR",
     )
 
-    from mistralocr_pdf2md_translator_ray.pipelines import library as lib
     from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
-        extract_documents,
         extract_turns,
     )
-    from mistralocr_pdf2md_translator_ray.stages import dedup as dd
-    from mistralocr_pdf2md_translator_ray.stages.textstats import doc_stats
 
     t_dir, p_dir = _ensure_corpus()
 
@@ -100,12 +97,45 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # --- headline: flagship per-turn extraction over the corpus -------
+    # consumed via parallel parquet write (a realistic sink; a driver
+    # iter_batches pull would serialize the tail on one core)
+    import shutil
+
+    out_dir = f"/tmp/bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    n_turns = _consume(
-        extract_turns(rd.read_parquet(t_dir), rd.read_parquet(p_dir))
-    )
+    extract_turns(rd.read_parquet(t_dir), rd.read_parquet(p_dir)).write_parquet(out_dir)
     headline_sec = round(time.perf_counter() - t0, 3)
+    n_turns = rd.read_parquet(out_dir).count()
     turns_per_sec = round(n_turns / headline_sec, 1)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    if not HEADLINE_ONLY:
+        _run_library_queries(timed, t_dir, p_dir)
+
+    result = {
+        "metric": "headline extract_turns wall sec (synthetic transcript corpus)",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": {"extract_turns": headline_sec, **timings},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_turns": n_turns,
+        "turns_per_sec": turns_per_sec,
+    }
+    ray.shutdown()
+    return result
+
+
+def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.pipelines import library as lib
+    from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+        extract_documents,
+    )
+    from mistralocr_pdf2md_translator_ray.stages import dedup as dd
+    from mistralocr_pdf2md_translator_ray.stages.textstats import doc_stats
 
     # document assembly (adds the salted conv_id shuffle)
     timed("extract_documents", lambda: extract_documents(
@@ -126,24 +156,12 @@ def run_bench() -> dict:
     timed("knn_cosine", lambda: lib.knn_cosine(SF_DIR))
     timed("doc_stats", lambda: doc_stats(SF_DIR))
 
-    result = {
-        "metric": "headline extract_turns wall sec (synthetic transcript corpus)",
-        "value": headline_sec,
-        "unit": "sec",
-        "queries": {"extract_turns": headline_sec, **timings},
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
-        "corpus_turns": n_turns,
-        "turns_per_sec": turns_per_sec,
-    }
-    ray.shutdown()
-    return result
-
 
 def run_scaling() -> dict:
-    """Same job, two fresh processes at 8 and 32 CPUs (N vs 4N proxy)."""
+    """Same job, two fresh processes at 8 and 32 CPUs (N vs 4N proxy).
+    Headline-only (library queries are timed in the plain run)."""
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

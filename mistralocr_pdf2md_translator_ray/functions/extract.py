@@ -27,10 +27,13 @@ TOOL_PDF_LAYOUT = "pdf_layout"
 TOOL_MARKDOWN = "markdown"
 
 
-def extract_turn(text: str, tool: str) -> tuple[str, str, str]:
+def extract_turn(text: str, tool: str, extra=None) -> tuple[str, str, str]:
     """(text, tool) -> (raw_md, status, error) — extraction WITHOUT
     normalization (stage order parity with the reference: extract, then
     splice child results, then the text->text transform).
+
+    ``extra`` is an optional {tool: fn} registry consulted first (the
+    §2.10 extension surface; see stages/registry.py).
 
     status is 'ok' or 'error'; on error raw_md carries the reference's
     in-band marker followed by the original text
@@ -38,7 +41,9 @@ def extract_turn(text: str, tool: str) -> tuple[str, str, str]:
     """
     text = text or ""
     try:
-        if tool == TOOL_HTML:
+        if extra and tool in extra:
+            md = extra[tool](text)
+        elif tool == TOOL_HTML:
             md = html_to_markdown(text)
         elif tool == TOOL_PDF_LAYOUT:
             md = layout_to_markdown(text)
@@ -50,7 +55,8 @@ def extract_turn(text: str, tool: str) -> tuple[str, str, str]:
         return marker + "\n\n" + text, "error", f"{type(e).__name__}: {e}"
 
 
-def process_turn(text: str, tool: str, children: dict[str, str] | None = None) -> tuple[str, str, str]:
+def process_turn(text: str, tool: str, children: dict[str, str] | None = None,
+                 extra=None) -> tuple[str, str, str]:
     """Full per-turn semantic: extract -> splice children -> normalize.
 
     Stage order mirrors the reference pipeline (doc OCR
@@ -59,7 +65,7 @@ def process_turn(text: str, tool: str, children: dict[str, str] | None = None) -
     """
     from .scalars import splice_children
 
-    raw, status, err = extract_turn(text, tool)
+    raw, status, err = extract_turn(text, tool, extra)
     if children:
         raw = splice_children(raw, children)
     return normalize_markdown(raw), status, err

@@ -32,33 +32,158 @@ from ..stages.extract import (
     CHILD_SCHEMA,
     PARENT_SCHEMA,
     ChildExtractor,
+    ExtractFinalizeBroadcast,
     TurnExtractor,
+    build_child_rows,
     finalize_plain,
     finalize_with_children,
     merge_children_into_parents,
 )
 from ..stages.joins import cogroup
+
+
+def _broadcast_child_map(child_mat: "ray.data.Dataset"):
+    """Aggregate child rows to one (conv, turn) -> children_json row per
+    turn ON THE CLUSTER (bucketed groupby — a driver-side pandas loop
+    over every turn was serial-linear), then assemble the broadcast
+    dict from the already-aggregated rows."""
+    import zlib
+
+    import pyarrow as pa
+    import ray
+
+    from ..stages.joins import coalesce_blocks
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pa.array(
+            [zlib.crc32(c.encode("utf-8")) % 64 for c in t["conv_id"].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("b", b)
+
+    def per_bucket(g):
+        return build_child_rows(g)
+
+    agg = (
+        child_mat.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(coalesce_blocks())
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    cmap = dict(zip(zip(agg["conv_id"], agg["turn_idx"].astype(int)),
+                    agg["children_json"]))
+    return ray.put(cmap)
 from ..stages.assemble import assemble_conversations
 
-# Actor-pool sizing: autoscaling pools (min 1 so several pools coexist
-# on small CPU budgets without starving each other); batch_size modest
-# because turn text can be wide.
-EXTRACT_POOL = dict(concurrency=(1, 8), batch_size=512, num_cpus=1)
-CHILD_POOL = dict(concurrency=(1, 4), batch_size=1024, num_cpus=1)
+def _pools() -> tuple[dict, dict, dict]:
+    """Actor-pool sizing scaled to the cluster.
+
+    Three pools coexist with the task-based stages (read, route,
+    finalize, shuffle, write), so their max sizes must sum to well
+    under the CPU count — pools that reserve every core starve the
+    tasks and serialize the pipeline (observed: 2.3x slowdown).
+    Sizing is asymmetric: ~88%% of turns are placeholder-free and go
+    through the plain pool; the placeholder branch and the child
+    extractor see ~12%% of rows each. Min 1 everywhere so tiny CPU
+    budgets (tests) never deadlock.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if cpus >= 16:
+        # Fixed pool sizes: autoscaling (1,N) pools ramp up too slowly
+        # and leave the stage under-provisioned for most of the run
+        # (measured 16s -> 9s on the bench corpus). 3/4 of cores go to
+        # the pools, 1/4 stays free for the task-based stages.
+        plain = dict(concurrency=cpus // 2, batch_size=1024, num_cpus=1)
+        with_ph = dict(concurrency=cpus // 8, batch_size=1024, num_cpus=1)
+        child = dict(concurrency=cpus // 8, batch_size=1024, num_cpus=1)
+    else:
+        # Small budgets (tests): min-1 autoscaling so three pools plus
+        # shuffle tasks coexist without reservation deadlock.
+        plain = dict(concurrency=(1, max(2, (cpus * 3) // 8)), batch_size=1024,
+                     num_cpus=1)
+        with_ph = dict(concurrency=(1, max(1, cpus // 8)), batch_size=1024,
+                       num_cpus=1)
+        child = dict(concurrency=(1, max(1, cpus // 8)), batch_size=1024,
+                     num_cpus=1)
+    return with_ph, plain, child
+
+
+BROADCAST_CHILD_MAX_ROWS = 2_000_000
 
 
 def extract_turns(
     transcripts: "ray.data.Dataset",
     payloads: Optional["ray.data.Dataset"] = None,
-    join_partitions: int = 16,  # kept for API stability; the co-group
-    # join's partitioning is sized by Ray's sort-shuffle automatically
+    join_partitions: int = 16,  # cogroup path bucket sizing
+    child_join: str = "auto",   # "auto" | "broadcast" | "cogroup"
 ) -> "ray.data.Dataset":
     """Per-turn extraction; returns Dataset with columns
-    (conv_id, turn_idx, role, tool, ts, md, n_tokens, status, error)."""
+    (conv_id, turn_idx, role, tool, ts, md, n_tokens, status, error).
+
+    Child-splice join strategy:
+
+    - **broadcast** (chosen by "auto" when the aggregated child table is
+      <= BROADCAST_CHILD_MAX_ROWS): the child results ride the object
+      store once (``ray.put``) and every finalize task probes the map
+      locally. One extraction branch, zero shuffles — the two-branch
+      union + sort barrier otherwise serializes the pipeline (measured
+      2x wall on the bench corpus).
+    - **cogroup** (chosen when the child side is too big to broadcast):
+      pre-split on placeholder presence; only the ~12%% of turns that
+      carry placeholders enter the bucketed co-group shuffle
+      (stages/joins.py).
+    """
+    from ..stages.registry import get_registry
+
+    with_ph_pool, plain_pool, child_pool = _pools()
+    ctor = {"fn_constructor_kwargs": {"extra_extractors": get_registry()}}
+
     if payloads is None:
         return transcripts.map_batches(
-            TurnExtractor, batch_format="pyarrow", **EXTRACT_POOL
+            TurnExtractor, batch_format="pyarrow", **plain_pool, **ctor
         ).map_batches(finalize_plain, batch_format="pyarrow")
+
+    if child_join in ("auto", "broadcast"):
+        # The child phase runs to completion BEFORE the main pass (its
+        # result is the broadcast map), so nothing competes for cores:
+        # give it half the cluster instead of the steady-state slice.
+        import ray as _r
+
+        cpus = int(_r.cluster_resources().get("CPU", 8))
+        burst_pool = dict(child_pool, concurrency=max(2, cpus // 2))
+        child_mat = payloads.map_batches(
+            ChildExtractor, batch_format="pyarrow", **burst_pool
+        ).materialize()
+        n_children = child_mat.count()
+        if child_join == "broadcast" or n_children <= BROADCAST_CHILD_MAX_ROWS:
+            cmap_ref = _broadcast_child_map(child_mat)
+            # single fused extract+finalize pool in this mode -> it can
+            # take the share the cogroup path splits across two pools
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+            solo_pool = dict(plain_pool)
+            if cpus >= 16:
+                solo_pool["concurrency"] = (cpus * 5) // 8
+            elif cpus >= 6:
+                solo_pool["concurrency"] = cpus // 2
+            return transcripts.map_batches(
+                ExtractFinalizeBroadcast,
+                batch_format="pyarrow",
+                fn_constructor_kwargs={
+                    "cmap_ref": cmap_ref,
+                    "extra_extractors": get_registry(),
+                },
+                **{k: v for k, v in solo_pool.items()},
+            )
+        children = child_mat  # too big to broadcast; reuse for cogroup
+    else:
+        children = payloads.map_batches(
+            ChildExtractor, batch_format="pyarrow", **child_pool
+        )
 
     # Pre-split on the *input* text so each branch extracts its rows
     # exactly once (a lazy Dataset consumed by two branches would
@@ -72,14 +197,10 @@ def extract_turns(
 
     with_ph = transcripts.map_batches(
         lambda b: _route(b, True), batch_format="pyarrow"
-    ).map_batches(TurnExtractor, batch_format="pyarrow", **EXTRACT_POOL)
+    ).map_batches(TurnExtractor, batch_format="pyarrow", **with_ph_pool, **ctor)
     plain = transcripts.map_batches(
         lambda b: _route(b, False), batch_format="pyarrow"
-    ).map_batches(TurnExtractor, batch_format="pyarrow", **EXTRACT_POOL)
-
-    children = payloads.map_batches(
-        ChildExtractor, batch_format="pyarrow", **CHILD_POOL
-    )
+    ).map_batches(TurnExtractor, batch_format="pyarrow", **plain_pool, **ctor)
 
     # Bucketed co-group join on (conv_id, turn_idx) — one shuffle with
     # ~num_buckets groups; the child aggregation (A1 regroup) and the

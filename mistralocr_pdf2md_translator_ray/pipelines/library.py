@@ -375,31 +375,45 @@ WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
 """
 
 
-def sessionize_events(sf_dir: str) -> "rd.Dataset":
+def sessionize_events(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
     """Gap-based sessionization (30 min) per user — the streaming-shaped
-    op expressed as groupby(user).map_groups over ts-sorted groups."""
+    op as a bucketed groupby (crc32(user) % B buckets; inside a bucket
+    everything is vectorized pandas, never one UDF call per user)."""
+    import zlib
+
     ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
 
     gap = pd.Timedelta(minutes=30)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = (df["user_id"].astype(str)
+                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        diff = g.groupby("user_id", sort=False)["ts"].diff()
+        brk = (diff > gap) | diff.isna()
         g = g.assign(
-            session_id=brk.cumsum().astype("int64"),
+            session_id=brk.groupby(g["user_id"], sort=False).cumsum().astype("int64"),
             v_u=np.floor(g["value"] * 100 + 0.5).astype("int64"),
         )
-        out = g.groupby("session_id", as_index=False).agg(
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("v_u", "size"),
             session_start=("ts", "min"),
             total_value=("v_u", "sum"),
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype("int64")
         out["total_value"] = out["total_value"] / 100.0
-        return out
+        return out[["user_id", "session_id", "n_events", "session_start",
+                    "total_value"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 SESSIONIZE_SQL = """
@@ -473,13 +487,26 @@ FROM events GROUP BY 1, 2
 
 def asof_purchase_click(sf_dir: str) -> "rd.Dataset":
     """As-of join: for each purchase, the user's most recent click at or
-    before it (pd.merge_asof inside per-user groups — the partitioning
-    assumption is user_id co-location, provided by the groupby)."""
-    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    before it. Bucketed by user hash; inside a bucket one vectorized
+    ``pd.merge_asof(by="user_id")`` handles every user at once (the
+    partitioning assumption is user_id co-location, provided by the
+    bucket groupby)."""
+    import zlib
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
-        c = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    num_buckets = 32
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("purchase", "click"))].copy()
+        df["b"] = (df["user_id"].astype(str)
+                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g[g["event_type"] == "purchase"]
+             .sort_values("ts", kind="mergesort"))
+        c = (g[g["event_type"] == "click"]
+             .sort_values("ts", kind="mergesort"))
         if p.empty:
             return pd.DataFrame({
                 "event_id": pd.Series(dtype="int64"),
@@ -489,13 +516,17 @@ def asof_purchase_click(sf_dir: str) -> "rd.Dataset":
             })
         merged = pd.merge_asof(
             p[["event_id", "user_id", "ts"]],
-            c[["ts"]].rename(columns={"ts": "last_click_ts"}),
-            left_on="ts", right_on="last_click_ts",
+            c[["user_id", "ts"]].assign(last_click_ts=c["ts"]),
+            on="ts", by="user_id",
             direction="backward", allow_exact_matches=True,
         )
         return merged[["event_id", "user_id", "ts", "last_click_ts"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 ASOF_SQL = """
@@ -556,6 +587,112 @@ def dedup_exact(sf_dir: str) -> "rd.Dataset":
 DEDUP_EXACT_SQL = """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
 FROM documents GROUP BY text
+"""
+
+
+def lang_counts(sf_dir: str) -> "rd.Dataset":
+    """documents per language: doc count + total chars (partial agg)."""
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(
+            n=("n_chars", "size"), chars=("n_chars", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": df["n"].astype("int64"),
+            "total_chars": df["chars"].astype("int64"),
+        })
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+LANG_COUNTS_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)   AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def part_brand_stats(sf_dir: str) -> "rd.Dataset":
+    """part per brand: count + avg retail price (exact-unit parity)."""
+    ds = _pq(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(u=np.floor(df["p_retailprice"] * 100 + 0.5).astype("int64"))
+        return df.groupby("p_brand", as_index=False).agg(
+            s=("u", "sum"), n=("u", "size"))
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("p_brand")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_brand": df["p_brand"],
+            "n_parts": df["n"].astype("int64"),
+            "avg_price": (df["s"] / 100.0 / df["n"]).round(6),
+        })
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+PART_BRAND_STATS_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 / count(*), 6) AS avg_price
+FROM part GROUP BY p_brand
+"""
+
+
+def orders_by_month(sf_dir: str) -> "rd.Dataset":
+    """Monthly order counts + exact-unit revenue (calendar window)."""
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        df = pa.table({"month": month, "p": t["o_totalprice"]}).to_pandas()
+        df["u"] = np.floor(df["p"] * 100 + 0.5).astype("int64")
+        g = df.groupby("month", as_index=False).agg(s=("u", "sum"), n=("u", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("month")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "month": df["month"],
+            "n_orders": df["n"].astype("int64"),
+            "total_price": df["s"] / 100.0,
+        })
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(count(*) AS BIGINT)         AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_price
+FROM orders GROUP BY 1
 """
 
 

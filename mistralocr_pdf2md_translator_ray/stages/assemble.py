@@ -74,8 +74,11 @@ def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
         def add_bucket(t: pa.Table) -> pa.Table:
             return t.append_column("b", _bucket_col(t["conv_id"], num_buckets))
 
+        from .joins import coalesce_blocks
+
         return (
             ds.map_batches(add_bucket, batch_format="pyarrow")
+            .repartition(coalesce_blocks())
             .groupby("b")
             .map_groups(_assemble_bucket, batch_format="pandas")
         )
@@ -94,8 +97,11 @@ def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
         )
         return t.append_column("salt", salt).append_column("b", b)
 
+    from .joins import coalesce_blocks
+
     partials = (
         ds.map_batches(add_salt_bucket, batch_format="pyarrow")
+        .repartition(coalesce_blocks())
         .groupby("b")
         .map_groups(_partial_bucket, batch_format="pandas")
     )

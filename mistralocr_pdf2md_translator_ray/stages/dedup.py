@@ -113,8 +113,11 @@ def _pairs_bucketed(bucket_rows: "rd.Dataset", group_pair_fn,
         return pd.DataFrame({"a": pd.array(a_out, dtype="int64"),
                              "b": pd.array(b_out, dtype="int64")})
 
+    from .joins import coalesce_blocks
+
     pairs_df = (
         bucket_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(coalesce_blocks())
         .groupby("b")
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()

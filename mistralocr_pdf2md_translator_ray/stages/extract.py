@@ -28,17 +28,21 @@ class TurnExtractor:
     input columns.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, extra_extractors=None) -> None:
         # Per-actor state: bind the compiled kernels once (the module
-        # import compiles every regex; holding refs here pins them).
+        # import compiles every regex; holding refs here pins them) and
+        # snapshot the driver's extractor registry (stages/registry.py)
+        # — serialized into each actor like the reference's
+        # process-global clients.
         self._extract = extract_turn
+        self._extra = extra_extractors or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         tools = batch["tool"].to_pylist()
         raw_mds, statuses, errors = [], [], []
         for text, tool in zip(texts, tools):
-            raw, status, err = self._extract(text, tool)
+            raw, status, err = self._extract(text, tool, self._extra)
             raw_mds.append(raw)
             statuses.append(status)
             errors.append(err)
@@ -95,6 +99,67 @@ def finalize_with_children(batch: pa.Table) -> pa.Table:
     """Splice child results below their placeholders (J1+M6), then
     normalize (M12 analog)."""
     return _finalize(batch, children_col=True)
+
+
+def build_child_rows(child_df):
+    """Reduce child rows to one (conv_id, turn_idx, children_json) row
+    per turn — the deterministic JSON map the cogroup merge builds;
+    runs inside cluster buckets for the broadcast join's small side."""
+    import pandas as pd
+
+    child_df = child_df.sort_values(["conv_id", "turn_idx", "payload_id"],
+                                    kind="mergesort")
+    agg = (
+        child_df.groupby(["conv_id", "turn_idx"], sort=False)
+        .apply(lambda g: json.dumps(dict(zip(g["payload_id"], g["extracted"])),
+                                    ensure_ascii=False, sort_keys=True),
+               include_groups=False)
+        .rename("children_json")
+        .reset_index()
+    )
+    return agg[["conv_id", "turn_idx", "children_json"]]
+
+
+class ExtractFinalizeBroadcast:
+    """Fused single-pass stage for the broadcast-join path: extract ->
+    splice (children from the broadcast map) -> normalize -> token
+    count, one Arrow->Python->Arrow round-trip per batch. The split
+    extract/finalize pair paid that conversion twice over every turn's
+    text (~2x total CPU at bench scale).
+
+    Actor pool: the child map is fetched once per actor in __init__
+    (zero-copy plasma read + one deserialize), like the reference's
+    process-global clients."""
+
+    def __init__(self, cmap_ref=None, extra_extractors=None) -> None:
+        import ray
+
+        self._cmap = ray.get(cmap_ref) if cmap_ref is not None else {}
+        self._extra = extra_extractors or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        tools = batch["tool"].to_pylist()
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_pylist()
+        mds, ntoks, statuses, errors = [], [], [], []
+        for text, tool, conv, turn in zip(texts, tools, convs, turns):
+            raw, status, err = extract_turn(text, tool, self._extra)
+            cj = self._cmap.get((conv, turn))
+            if cj:
+                raw = splice_children(raw, json.loads(cj))
+            md = normalize_markdown(raw)
+            mds.append(md)
+            ntoks.append(token_count(md))
+            statuses.append(status)
+            errors.append(err)
+        return (
+            batch.append_column("md", pa.array(mds, pa.string()))
+            .append_column("n_tokens", pa.array(ntoks, pa.int64()))
+            .append_column("status", pa.array(statuses, pa.string()))
+            .append_column("error", pa.array(errors, pa.string()))
+            .select(_OUT_COLS)
+        )
 
 
 def finalize_plain(batch: pa.Table) -> pa.Table:

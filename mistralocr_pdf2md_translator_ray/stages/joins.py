@@ -91,4 +91,21 @@ def cogroup(
         rdf = g[g[SIDE_COL] == 1][r_names]
         return merge_fn(ldf, rdf)
 
-    return tagged.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pandas")
+    # Coalesce the many small upstream blocks before the sort shuffle —
+    # Ray's sort pays per-block costs (sampling, partition maps), and
+    # hundreds of KB-sized blocks made the shuffle 4x slower than the
+    # same rows in ~32 blocks.
+    return (
+        tagged.repartition(coalesce_blocks())
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def coalesce_blocks() -> int:
+    """Target block count for pre-shuffle coalescing: ~1 block per core."""
+    import ray
+
+    if ray.is_initialized():
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return 8

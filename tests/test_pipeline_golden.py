@@ -65,6 +65,24 @@ class TestPermutationInvariance:
         pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
 
 
+class TestCogroupPathEquality:
+    """The big-child-side fallback (bucketed co-group shuffle) must
+    produce byte-identical output to the broadcast path."""
+
+    def test_cogroup_strategy_matches_oracle(self, tiny_fixture, oracle_turns):
+        t, p = tiny_fixture
+        got = (
+            extract_turns(rd.from_arrow(t), rd.from_arrow(p),
+                          child_join="cogroup")
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = _as_sorted_pdf(oracle_turns)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                      check_dtype=False)
+
+
 class TestAssembly:
     """Assembly is tested from the session-scoped per-turn result (one
     extraction run per session; assembly itself is what's under test).
