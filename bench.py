@@ -158,9 +158,10 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
 
 
 def run_scaling() -> dict:
-    """Same job, two fresh processes at 8 and 32 CPUs (N vs 4N proxy).
-    Headline-only (library queries are timed in the plain run)."""
-    def run(ncpu: int) -> dict:
+    """Same job, fresh processes at 8 and 32 CPUs (N vs 4N proxy).
+    Headline-only; best-of-2 per level (this host shows 10-30%% CPU
+    steal-time variance between runs)."""
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -168,6 +169,10 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     lo, hi = run(8), run(32)
     tput_lo = lo["turns_per_sec"]

@@ -113,3 +113,72 @@ def normalize_markdown(md: str) -> str:
     while collapsed and collapsed[-1] == "":
         collapsed.pop()
     return "\n".join(collapsed)
+
+
+def md_spans(md: str) -> list[dict]:
+    """Structural spans over normalized Markdown: contiguous blocks of
+    one kind with [start, end) char offsets into ``md``.
+
+    Kinds: heading, list, code, table, quote, separator, paragraph.
+    (The reference's page/span structure appears implicitly in its
+    Markdown output; here it is an explicit typed column —
+    ``spans: list<struct<start,end,kind>>`` — per the north-star data
+    model.)
+    """
+    if not md:
+        return []
+    spans: list[dict] = []
+    pos = 0
+    cur_kind: str | None = None
+    cur_start = 0
+    cur_end = 0
+    in_fence = False
+
+    def classify(line: str) -> str | None:
+        s = line.lstrip()
+        if not s:
+            return None
+        if s.startswith("#"):
+            return "heading"
+        if s.startswith("- ") or (s[:1].isdigit() and ". " in s[:5]):
+            return "list"
+        if s.startswith("|") and line.rstrip().endswith("|"):
+            return "table"
+        if s.startswith(">"):
+            return "quote"
+        if s == "---":
+            return "separator"
+        return "paragraph"
+
+    def flush() -> None:
+        nonlocal cur_kind
+        if cur_kind is not None:
+            spans.append({"start": cur_start, "end": cur_end, "kind": cur_kind})
+            cur_kind = None
+
+    for line in md.split("\n"):
+        start, end = pos, pos + len(line)
+        pos = end + 1  # skip the newline
+        s = line.lstrip()
+        if in_fence:
+            cur_end = end
+            if s.startswith("```") or s.startswith("~~~"):
+                in_fence = False
+                flush()
+            continue
+        if s.startswith("```") or s.startswith("~~~"):
+            flush()
+            cur_kind, cur_start, cur_end = "code", start, end
+            in_fence = True
+            continue
+        kind = classify(line)
+        if kind is None:
+            flush()
+            continue
+        if kind == cur_kind and kind in ("list", "table", "quote", "paragraph"):
+            cur_end = end
+        else:
+            flush()
+            cur_kind, cur_start, cur_end = kind, start, end
+    flush()
+    return spans

@@ -14,6 +14,7 @@ from collections import defaultdict
 import pyarrow as pa
 
 from ..functions.extract import extract_child_payload, process_turn
+from ..functions.markdown import md_spans
 from ..functions.scalars import PAGE_SEPARATOR
 from ..functions.textstats import token_count
 
@@ -32,7 +33,7 @@ def oracle_extract_turns(transcripts: pa.Table, payloads: pa.Table | None = None
         transcripts.to_pylist(), key=lambda r: (r["conv_id"], r["turn_idx"])
     )
     out = {k: [] for k in ("conv_id", "turn_idx", "role", "tool", "ts", "md",
-                           "n_tokens", "status", "error")}
+                           "spans", "n_tokens", "status", "error")}
     for r in rows:
         md, status, err = process_turn(
             r["text"], r["tool"], children.get((r["conv_id"], r["turn_idx"]))
@@ -43,9 +44,12 @@ def oracle_extract_turns(transcripts: pa.Table, payloads: pa.Table | None = None
         out["tool"].append(r["tool"])
         out["ts"].append(r["ts"])
         out["md"].append(md)
+        out["spans"].append(md_spans(md))
         out["n_tokens"].append(token_count(md))
         out["status"].append(status)
         out["error"].append(err)
+    from ..stages.extract import SPANS_TYPE
+
     return pa.table(
         {
             "conv_id": pa.array(out["conv_id"], pa.string()),
@@ -54,6 +58,7 @@ def oracle_extract_turns(transcripts: pa.Table, payloads: pa.Table | None = None
             "tool": pa.array(out["tool"], pa.string()),
             "ts": pa.array(out["ts"], pa.timestamp("us")),
             "md": pa.array(out["md"], pa.string()),
+            "spans": pa.array(out["spans"], SPANS_TYPE),
             "n_tokens": pa.array(out["n_tokens"], pa.int64()),
             "status": pa.array(out["status"], pa.string()),
             "error": pa.array(out["error"], pa.string()),

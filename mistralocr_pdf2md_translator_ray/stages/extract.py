@@ -16,7 +16,7 @@ import json
 import pyarrow as pa
 
 from ..functions.extract import extract_turn, extract_child_payload
-from ..functions.markdown import normalize_markdown
+from ..functions.markdown import md_spans, normalize_markdown
 from ..functions.scalars import splice_children
 from ..functions.textstats import token_count
 
@@ -76,21 +76,29 @@ class ChildExtractor:
         )
 
 
-_OUT_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "md", "n_tokens", "status", "error"]
+_OUT_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "md", "spans",
+             "n_tokens", "status", "error"]
+
+SPANS_TYPE = pa.list_(
+    pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
+)
 
 
 def _finalize(batch: pa.Table, children_col: bool) -> pa.Table:
     raws = batch["raw_md"].to_pylist()
     ch = batch["children_json"].to_pylist() if children_col else [None] * len(raws)
-    mds, ntoks = [], []
+    mds, spans, ntoks = [], [], []
     for raw, cj in zip(raws, ch):
         if isinstance(cj, str) and cj:  # guard NaN/None from the left join
             raw = splice_children(raw, json.loads(cj))
         md = normalize_markdown(raw)
         mds.append(md)
+        spans.append(md_spans(md))
         ntoks.append(token_count(md))
-    out = batch.append_column("md", pa.array(mds, pa.string())).append_column(
-        "n_tokens", pa.array(ntoks, pa.int64())
+    out = (
+        batch.append_column("md", pa.array(mds, pa.string()))
+        .append_column("spans", pa.array(spans, SPANS_TYPE))
+        .append_column("n_tokens", pa.array(ntoks, pa.int64()))
     )
     return out.select(_OUT_COLS)
 
@@ -142,7 +150,7 @@ class ExtractFinalizeBroadcast:
         tools = batch["tool"].to_pylist()
         convs = batch["conv_id"].to_pylist()
         turns = batch["turn_idx"].to_pylist()
-        mds, ntoks, statuses, errors = [], [], [], []
+        mds, spans, ntoks, statuses, errors = [], [], [], [], []
         for text, tool, conv, turn in zip(texts, tools, convs, turns):
             raw, status, err = extract_turn(text, tool, self._extra)
             cj = self._cmap.get((conv, turn))
@@ -150,11 +158,13 @@ class ExtractFinalizeBroadcast:
                 raw = splice_children(raw, json.loads(cj))
             md = normalize_markdown(raw)
             mds.append(md)
+            spans.append(md_spans(md))
             ntoks.append(token_count(md))
             statuses.append(status)
             errors.append(err)
         return (
             batch.append_column("md", pa.array(mds, pa.string()))
+            .append_column("spans", pa.array(spans, SPANS_TYPE))
             .append_column("n_tokens", pa.array(ntoks, pa.int64()))
             .append_column("status", pa.array(statuses, pa.string()))
             .append_column("error", pa.array(errors, pa.string()))

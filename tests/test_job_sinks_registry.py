@@ -9,6 +9,14 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    if "spans" in df.columns:
+        df["spans"] = df["spans"].map(
+            lambda s: json.dumps([dict(x) for x in list(s)], sort_keys=True))
+    return df
+
+
 def _write_fixture(tmp_path):
     from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
 
@@ -28,12 +36,12 @@ class TestExtractJob:
         _t, _p, t_path, p_path = _write_fixture(tmp_path)
         out_dir = str(tmp_path / "job")
         per_turn = run_extract_job(t_path, p_path, out_dir, n_partitions=4)
-        got = (
+        got = _canon(
             per_turn.to_pandas()
             .sort_values(["conv_id", "turn_idx"])
             .reset_index(drop=True)
         )
-        exp = oracle_turns.to_pandas()
+        exp = _canon(oracle_turns.to_pandas())
         cols = exp.columns.tolist()
         pd.testing.assert_frame_equal(got[cols], exp, check_dtype=False)
 
@@ -58,7 +66,7 @@ class TestExtractJob:
         }
         per_turn2 = run_extract_job(t_path, p_path, out_dir, n_partitions=4,
                                     assemble=False)
-        got2 = (
+        got2 = _canon(
             per_turn2.to_pandas()
             .sort_values(["conv_id", "turn_idx"])
             .reset_index(drop=True)

@@ -146,6 +146,27 @@ class TestMarkdownNormalize:
         assert normalize_markdown(once) == once
 
 
+class TestMdSpans:
+    def test_kinds_and_offsets(self):
+        from mistralocr_pdf2md_translator_ray.functions.markdown import md_spans
+
+        md = "# Title\n\npara one\npara two\n\n- a\n- b\n\n```\ncode\n```\n\n---"
+        spans = md_spans(md)
+        kinds = [s["kind"] for s in spans]
+        assert kinds == ["heading", "paragraph", "list", "code", "separator"]
+        for s in spans:
+            assert md[s["start"]:s["end"]].strip() != ""
+        h = spans[0]
+        assert md[h["start"]:h["end"]] == "# Title"
+        code = spans[3]
+        assert md[code["start"]:code["end"]] == "```\ncode\n```"
+
+    def test_empty(self):
+        from mistralocr_pdf2md_translator_ray.functions.markdown import md_spans
+
+        assert md_spans("") == []
+
+
 class TestScalars:
     def test_sanitize(self):
         assert sanitize_id("my doc name") == "my_doc_name"

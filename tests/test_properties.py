@@ -1,0 +1,92 @@
+"""Property-based kernel tests (no Ray): invariants that must hold for
+arbitrary inputs, not just fixtures."""
+
+from hypothesis import given, settings, strategies as st
+
+from mistralocr_pdf2md_translator_ray.functions import (
+    extract_turn,
+    html_to_markdown,
+    normalize_markdown,
+    process_turn,
+    splice_children,
+    token_count,
+)
+from mistralocr_pdf2md_translator_ray.functions.dedup import (
+    char_shingles,
+    jaccard,
+    minhash_signature,
+)
+
+text_st = st.text(max_size=800)
+
+
+class TestNormalizeProperties:
+    @given(text_st)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, s):
+        once = normalize_markdown(s)
+        assert normalize_markdown(once) == once
+
+    @given(text_st)
+    @settings(max_examples=200, deadline=None)
+    def test_never_raises_and_no_trailing_blank(self, s):
+        out = normalize_markdown(s)
+        assert not out.endswith("\n")
+        assert not out.startswith("\n")
+
+
+class TestExtractProperties:
+    @given(text_st, st.sampled_from(["", "markdown", "html", "pdf_layout", "junk"]))
+    @settings(max_examples=150, deadline=None)
+    def test_error_as_value_never_raises(self, s, tool):
+        md, status, err = process_turn(s, tool)
+        assert status in ("ok", "error")
+        assert (status == "error") == bool(err)
+        if status == "error":
+            assert md.startswith("--- ERROR:")
+
+    @given(text_st)
+    @settings(max_examples=100, deadline=None)
+    def test_html_extract_total(self, s):
+        # stdlib parser is lenient: any string must extract without raising
+        out = html_to_markdown(s)
+        assert isinstance(out, str)
+
+
+class TestSpliceProperties:
+    @given(st.lists(st.from_regex(r"[a-z]{1,8}-[0-9]{1,3}", fullmatch=True),
+                    max_size=5, unique=True))
+    @settings(max_examples=100, deadline=None)
+    def test_splice_only_touches_matched(self, ids):
+        md = "\n\n".join(f"![{i}]({i})" for i in ids) + "\n\nplain tail"
+        children = {i: '{"v": 1}' for i in ids[::2]}  # every other id
+        out = splice_children(md, children)
+        for i in ids:
+            assert f"![{i}]({i})" in out  # placeholder always preserved
+        assert out.count("```json") == len(children)
+        assert "plain tail" in out
+
+
+class TestTokenCountProperties:
+    @given(text_st)
+    @settings(max_examples=200, deadline=None)
+    def test_matches_split_semantics(self, s):
+        assert token_count(s) == len(s.split())
+
+
+class TestMinHashProperties:
+    @given(st.text(min_size=30, max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_identical_texts_identical_signatures(self, s):
+        a = minhash_signature(char_shingles(s))
+        b = minhash_signature(char_shingles(s))
+        assert (a == b).all()
+        assert jaccard(char_shingles(s), char_shingles(s)) == 1.0
+
+    @given(st.text(min_size=50, max_size=200, alphabet="abcdefgh "),
+           st.text(min_size=50, max_size=200, alphabet="stuvwxyz "))
+    @settings(max_examples=50, deadline=None)
+    def test_disjoint_alphabets_low_estimate(self, a, b):
+        sa, sb = char_shingles(a), char_shingles(b)
+        sim = (minhash_signature(sa) == minhash_signature(sb)).mean()
+        assert sim <= 0.35  # disjoint shingle sets -> low collision rate
