@@ -155,6 +155,19 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("dedup_minhash", lambda: dd.dedup_minhash(SF_DIR))
     timed("knn_cosine", lambda: lib.knn_cosine(SF_DIR))
     timed("doc_stats", lambda: doc_stats(SF_DIR))
+    timed("supplier_nation", lambda: lib.supplier_nation(SF_DIR))
+    timed("distinct_segments", lambda: lib.distinct_segments(SF_DIR))
+    timed("events_json_k", lambda: lib.events_json_k(SF_DIR))
+    timed("lang_counts", lambda: lib.lang_counts(SF_DIR))
+    timed("part_brand_stats", lambda: lib.part_brand_stats(SF_DIR))
+    timed("orders_by_month", lambda: lib.orders_by_month(SF_DIR))
+    timed("dedup_ngram", lambda: dd.dedup_ngram(SF_DIR))
+    timed("dedup_simhash", lambda: dd.dedup_simhash(SF_DIR))
+    timed("neardup_embedding", lambda: dd.neardup_embedding(SF_DIR))
+
+    from mistralocr_pdf2md_translator_ray.stages.similarity import knn_cosine_ivf
+
+    timed("knn_cosine_ivf", lambda: knn_cosine_ivf(SF_DIR))
 
 
 def run_scaling() -> dict:

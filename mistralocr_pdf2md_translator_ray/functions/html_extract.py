@@ -27,7 +27,6 @@ Algorithm
 from __future__ import annotations
 
 import re
-from html import unescape
 from html.parser import HTMLParser
 
 MIN_TEXT_LEN = 25
