@@ -104,7 +104,7 @@ def run_bench() -> dict:
     out_dir = f"/tmp/bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    extract_turns(rd.read_parquet(t_dir), rd.read_parquet(p_dir)).write_parquet(out_dir)
+    extract_turns(rd.read_parquet(t_dir), payloads_path=p_dir).write_parquet(out_dir)
     headline_sec = round(time.perf_counter() - t0, 3)
     n_turns = rd.read_parquet(out_dir).count()
     turns_per_sec = round(n_turns / headline_sec, 1)
@@ -139,7 +139,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
 
     # document assembly (adds the salted conv_id shuffle)
     timed("extract_documents", lambda: extract_documents(
-        rd.read_parquet(t_dir), rd.read_parquet(p_dir)))
+        rd.read_parquet(t_dir), payloads_path=p_dir))
 
     # --- library queries over the sf dir ------------------------------
     timed("q1_pricing_summary", lambda: lib.q1_pricing_summary(SF_DIR))

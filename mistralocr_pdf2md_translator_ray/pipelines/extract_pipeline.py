@@ -74,6 +74,75 @@ def _broadcast_child_map(child_mat: "ray.data.Dataset"):
     cmap = dict(zip(zip(agg["conv_id"], agg["turn_idx"].astype(int)),
                     agg["children_json"]))
     return ray.put(cmap)
+
+
+def _child_partial_refs(payloads_path: str):
+    """Launch raw Ray tasks computing per-shard child partial maps
+    {(conv, turn): {payload_id: extracted}}; returns pending refs (or
+    None if the path holds no parquet files)."""
+    import os
+
+    import ray
+
+    if os.path.isdir(payloads_path):
+        files = sorted(
+            os.path.join(payloads_path, f)
+            for f in os.listdir(payloads_path)
+            if f.endswith(".parquet")
+        )
+    elif payloads_path.endswith(".parquet"):
+        files = [payloads_path]
+    else:
+        files = []
+    if not files:
+        return None
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    k = max(1, min(len(files), cpus))
+    shards = [files[i::k] for i in range(k)]
+
+    @ray.remote
+    def _partial(shard: list[str]) -> dict:
+        import pyarrow.parquet as pq
+
+        from ..functions.extract import extract_child_payload
+
+        out: dict = {}
+        for f in shard:
+            t = pq.read_table(
+                f, columns=["conv_id", "turn_idx", "payload_id", "kind", "payload"]
+            )
+            for conv, turn, pid, kind, blob in zip(
+                t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
+                t["payload_id"].to_pylist(), t["kind"].to_pylist(),
+                t["payload"].to_pylist(),
+            ):
+                extracted, _status = extract_child_payload(blob, pid, kind)
+                out.setdefault((conv, turn), {})[pid] = extracted
+        return out
+
+    return [_partial.remote(s) for s in shards]
+
+
+def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict):
+    """Single fused extract+splice+normalize actor pool (the broadcast
+    join's streaming side)."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    solo_pool = dict(plain_pool)
+    if cpus >= 16:
+        solo_pool["concurrency"] = (cpus * 5) // 8
+    elif cpus >= 6:
+        solo_pool["concurrency"] = cpus // 2
+    return transcripts.map_batches(
+        ExtractFinalizeBroadcast,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=ctor_kwargs,
+        **solo_pool,
+    )
+
+
 from ..stages.assemble import assemble_conversations
 
 def _pools() -> tuple[dict, dict, dict]:
@@ -119,6 +188,7 @@ def extract_turns(
     payloads: Optional["ray.data.Dataset"] = None,
     join_partitions: int = 16,  # cogroup path bucket sizing
     child_join: str = "auto",   # "auto" | "broadcast" | "cogroup"
+    payloads_path: Optional[str] = None,  # enables the overlapped path
 ) -> "ray.data.Dataset":
     """Per-turn extraction; returns Dataset with columns
     (conv_id, turn_idx, role, tool, ts, md, n_tokens, status, error).
@@ -141,6 +211,21 @@ def extract_turns(
     with_ph_pool, plain_pool, child_pool = _pools()
     ctor = {"fn_constructor_kwargs": {"extra_extractors": get_registry()}}
 
+    if payloads_path is not None and child_join in ("auto", "broadcast"):
+        # Overlapped broadcast path: child partial maps are computed by
+        # raw Ray TASKS over the payload parquet shards (the Dataset API
+        # cannot express "start the main stream now, block the splice
+        # actors on a still-running side computation"); each fused
+        # actor awaits the partial refs in __init__ while the main
+        # pipeline's read stages already stream. Falls back to the
+        # Dataset path when only a Dataset was provided.
+        refs = _child_partial_refs(payloads_path)
+        if refs is not None:
+            return _broadcast_pipeline(
+                transcripts, plain_pool,
+                {"cmap_refs": refs, "extra_extractors": get_registry()})
+        payloads = payloads if payloads is not None else rd.read_parquet(payloads_path)
+
     if payloads is None:
         return transcripts.map_batches(
             TurnExtractor, batch_format="pyarrow", **plain_pool, **ctor
@@ -160,25 +245,9 @@ def extract_turns(
         n_children = child_mat.count()
         if child_join == "broadcast" or n_children <= BROADCAST_CHILD_MAX_ROWS:
             cmap_ref = _broadcast_child_map(child_mat)
-            # single fused extract+finalize pool in this mode -> it can
-            # take the share the cogroup path splits across two pools
-            import ray as _ray
-
-            cpus = int(_ray.cluster_resources().get("CPU", 8))
-            solo_pool = dict(plain_pool)
-            if cpus >= 16:
-                solo_pool["concurrency"] = (cpus * 5) // 8
-            elif cpus >= 6:
-                solo_pool["concurrency"] = cpus // 2
-            return transcripts.map_batches(
-                ExtractFinalizeBroadcast,
-                batch_format="pyarrow",
-                fn_constructor_kwargs={
-                    "cmap_ref": cmap_ref,
-                    "extra_extractors": get_registry(),
-                },
-                **{k: v for k, v in solo_pool.items()},
-            )
+            return _broadcast_pipeline(
+                transcripts, plain_pool,
+                {"cmap_ref": cmap_ref, "extra_extractors": get_registry()})
         children = child_mat  # too big to broadcast; reuse for cogroup
     else:
         children = payloads.map_batches(
@@ -225,7 +294,11 @@ def extract_documents(
     transcripts: "ray.data.Dataset",
     payloads: Optional["ray.data.Dataset"] = None,
     salt_span: int | None = 256,
+    payloads_path: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Whole-document output: one row per conversation
     (conv_id, n_turns, doc_md), turn order restored inside groups."""
-    return assemble_conversations(extract_turns(transcripts, payloads), salt_span=salt_span)
+    return assemble_conversations(
+        extract_turns(transcripts, payloads, payloads_path=payloads_path),
+        salt_span=salt_span,
+    )

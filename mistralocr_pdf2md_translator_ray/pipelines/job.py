@@ -42,12 +42,11 @@ def run_extract_job(
     turns_ckpt = os.path.join(out_dir, "turns")
 
     def transform(pending: "rd.Dataset") -> "rd.Dataset":
-        payloads = rd.read_parquet(payloads_path) if payloads_path else None
         # part_id must survive the pipeline for partitioned output; the
         # extract pipeline preserves input columns it doesn't consume,
         # but its finalize projects a fixed schema — so re-derive
         # part_id on the way out (same crc32 rule, zero-cost).
-        out = extract_turns(pending, payloads)
+        out = extract_turns(pending, payloads_path=payloads_path)
         from ..state.checkpoint import add_part_id
 
         return add_part_id(out, "conv_id", n_partitions)

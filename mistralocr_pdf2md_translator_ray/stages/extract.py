@@ -137,12 +137,22 @@ class ExtractFinalizeBroadcast:
 
     Actor pool: the child map is fetched once per actor in __init__
     (zero-copy plasma read + one deserialize), like the reference's
-    process-global clients."""
+    process-global clients. ``cmap_refs`` may be a list of PENDING
+    partial-map ObjectRefs (the overlapped path: raw Ray tasks compute
+    child partials while this pipeline's read stages already stream;
+    each actor blocks here only until the partials land)."""
 
-    def __init__(self, cmap_ref=None, extra_extractors=None) -> None:
+    def __init__(self, cmap_ref=None, cmap_refs=None, extra_extractors=None) -> None:
         import ray
 
-        self._cmap = ray.get(cmap_ref) if cmap_ref is not None else {}
+        if cmap_refs is not None:
+            cmap: dict = {}
+            for part in ray.get(list(cmap_refs)):
+                for k, v in part.items():
+                    cmap.setdefault(k, {}).update(v)
+            self._cmap = cmap
+        else:
+            self._cmap = ray.get(cmap_ref) if cmap_ref is not None else {}
         self._extra = extra_extractors or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -155,7 +165,7 @@ class ExtractFinalizeBroadcast:
             raw, status, err = extract_turn(text, tool, self._extra)
             cj = self._cmap.get((conv, turn))
             if cj:
-                raw = splice_children(raw, json.loads(cj))
+                raw = splice_children(raw, json.loads(cj) if isinstance(cj, str) else cj)
             md = normalize_markdown(raw)
             mds.append(md)
             spans.append(md_spans(md))

@@ -97,6 +97,28 @@ class TestCogroupPathEquality:
                                       check_dtype=False)
 
 
+class TestOverlappedPathEquality:
+    """The raw-task overlapped broadcast path (payloads_path input) must
+    match the oracle byte-for-byte too."""
+
+    def test_payloads_path_matches_oracle(self, tiny_fixture, oracle_turns,
+                                          tmp_path):
+        import pyarrow.parquet as pq
+
+        t, p = tiny_fixture
+        p_path = str(tmp_path / "payloads.parquet")
+        pq.write_table(p, p_path)
+        got = _canon(
+            extract_turns(rd.from_arrow(t), payloads_path=p_path)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = _as_sorted_pdf(oracle_turns)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                      check_dtype=False)
+
+
 class TestAssembly:
     """Assembly is tested from the session-scoped per-turn result (one
     extraction run per session; assembly itself is what's under test).
