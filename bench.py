@@ -137,9 +137,14 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     from mistralocr_pdf2md_translator_ray.stages import dedup as dd
     from mistralocr_pdf2md_translator_ray.stages.textstats import doc_stats
 
-    # document assembly (adds the salted conv_id shuffle)
-    timed("extract_documents", lambda: extract_documents(
-        rd.read_parquet(t_dir), payloads_path=p_dir))
+    # document assembly (adds the salted conv_id shuffle) — timed on an
+    # 8-shard subset so this secondary metric doesn't dominate bench
+    # wall time (it re-runs extraction plus two full-volume shuffles)
+    sub_t = sorted(
+        os.path.join(t_dir, f) for f in os.listdir(t_dir) if f.endswith(".parquet")
+    )[:8]
+    timed("extract_documents_8shards", lambda: extract_documents(
+        rd.read_parquet(sub_t), payloads_path=p_dir))
 
     # --- library queries over the sf dir ------------------------------
     timed("q1_pricing_summary", lambda: lib.q1_pricing_summary(SF_DIR))

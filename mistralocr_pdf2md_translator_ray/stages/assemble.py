@@ -64,6 +64,98 @@ def _final_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return out[["conv_id", "n_turns", "doc_md"]]
 
 
+def assemble_conversations_sorted(per_turn_ds):
+    """Alternative assembly: ONE global sort + boundary-fragment fixup.
+
+    ``sort(conv_id, turn_idx)`` makes each conversation's rows globally
+    contiguous, so each sorted block can assemble its interior
+    conversations completely; only the first/last conversation of each
+    block becomes a *fragment* (conv_id, min turn_idx, partial doc).
+    The fixup shuffle then moves ~2 rows per block instead of the full
+    corpus — half the shuffle bytes of the salted two-phase.
+
+    Trade-off vs the salted default: a single pathologically hot
+    conversation is assembled by one fixup task (fine up to task
+    memory); use the salted strategy when documents can exceed worker
+    heap. Measured (244k turns, 32 CPUs): salted 6.7s, sorted 10.4s —
+    Ray's range-partitioned sort costs more than the two bucket
+    groupbys despite moving half the bytes, so salted stays the
+    default; this strategy exists for order-sensitive sinks that want a
+    globally sorted output anyway.
+    """
+    ds = (
+        per_turn_ds.select_columns(["conv_id", "turn_idx", "ts", "md"])
+        .sort(["conv_id", "turn_idx", "ts"])
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        convs = t["conv_id"].to_pylist()
+        turns = t["turn_idx"].to_pylist()
+        mds = t["md"].to_pylist()
+        out = {"conv_id": [], "kind": [], "min_turn": [], "n_turns": [],
+               "doc_md": []}
+        if not convs:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "kind": pa.array([], pa.string()),
+                "min_turn": pa.array([], pa.int64()),
+                "n_turns": pa.array([], pa.int64()),
+                "doc_md": pa.array([], pa.string()),
+            })
+        runs: list[tuple[int, int]] = []  # [start, end) index runs per conv
+        start = 0
+        for i in range(1, len(convs) + 1):
+            if i == len(convs) or convs[i] != convs[start]:
+                runs.append((start, i))
+                start = i
+        for ri, (a, b) in enumerate(runs):
+            interior = 0 < ri < len(runs) - 1
+            out["conv_id"].append(convs[a])
+            out["kind"].append("doc" if interior else "frag")
+            out["min_turn"].append(int(turns[a]))
+            out["n_turns"].append(b - a)
+            out["doc_md"].append(PAGE_SEPARATOR.join(mds[a:b]))
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "min_turn": pa.array(out["min_turn"], pa.int64()),
+            "n_turns": pa.array(out["n_turns"], pa.int64()),
+            "doc_md": pa.array(out["doc_md"], pa.string()),
+        })
+
+    # materialize so the two downstream consumers don't re-execute the
+    # sort (materialized datasets are reusable; spills if oversized)
+    blocks = ds.map_batches(per_block, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    def keep(t: pa.Table, kind: str) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(t["kind"], kind)
+        return t.filter(m).select(["conv_id", "min_turn", "n_turns", "doc_md"])
+
+    docs = blocks.map_batches(lambda t: keep(t, "doc"), batch_format="pyarrow")
+
+    def join_frags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("min_turn", kind="mergesort")
+        return pd.DataFrame({
+            "conv_id": [g["conv_id"].iloc[0]],
+            "min_turn": pd.array([int(g["min_turn"].iloc[0])], dtype="int64"),
+            "n_turns": pd.array([int(g["n_turns"].sum())], dtype="int64"),
+            "doc_md": [PAGE_SEPARATOR.join(g["doc_md"].tolist())],
+        })
+
+    fixed = (
+        blocks.map_batches(lambda t: keep(t, "frag"), batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(join_frags, batch_format="pandas")
+        # coerce back to Arrow blocks: the union's other side is Arrow
+        # and mixed block types break downstream batching
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return docs.union(fixed).select_columns(["conv_id", "n_turns", "doc_md"])
+
+
 def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
                            num_buckets: int = 64):
     """per-turn Dataset (conv_id, turn_idx, ts, md, ...) -> one row per

@@ -152,3 +152,18 @@ class TestAssembly:
         )
         exp = oracle_assemble(oracle_turns).to_pandas()
         pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
+
+    def test_sorted_strategy_equals_oracle(self, pipeline_turns, oracle_turns):
+        from mistralocr_pdf2md_translator_ray.stages.assemble import (
+            assemble_conversations_sorted,
+        )
+
+        # repartition to many tiny blocks so conversations straddle
+        # block boundaries and the fragment fixup actually exercises
+        a = (
+            assemble_conversations_sorted(
+                self._per_turn_ds(pipeline_turns).repartition(11))
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        exp = oracle_assemble(oracle_turns).to_pandas()
+        pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
