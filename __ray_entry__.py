@@ -90,9 +90,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins
         "revenue_by_nation": lib.revenue_by_nation,
         "supplier_nation": lib.supplier_nation,
-        # sort / top-k / distinct
+        # sort / top-k / distinct / grouped top-k / semi & anti joins
         "top_orders": lib.top_orders,
+        "top_orders_per_customer": lib.top_orders_per_customer,
         "distinct_segments": lib.distinct_segments,
+        "customers_with_orders": lib.customers_with_orders,
+        "customers_without_orders": lib.customers_without_orders,
         # events: agg, JSON scalar, sessionize, window, as-of join
         "events_by_type": lib.events_by_type,
         "events_json_k": lib.events_json_k,
@@ -128,7 +131,10 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": lib.REVENUE_BY_NATION_SQL,
         "supplier_nation": lib.SUPPLIER_NATION_SQL,
         "top_orders": lib.TOP_ORDERS_SQL,
+        "top_orders_per_customer": lib.TOP_ORDERS_PER_CUSTOMER_SQL,
         "distinct_segments": lib.DISTINCT_SEGMENTS_SQL,
+        "customers_with_orders": lib.CUSTOMERS_WITH_ORDERS_SQL,
+        "customers_without_orders": lib.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_by_type": lib.EVENTS_BY_TYPE_SQL,
         "events_json_k": lib.EVENTS_JSON_K_SQL,
         "sessionize_events": lib.SESSIONIZE_SQL,

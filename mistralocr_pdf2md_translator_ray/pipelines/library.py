@@ -314,6 +314,100 @@ def distinct_segments(sf_dir: str) -> "rd.Dataset":
 DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
+def top_orders_per_customer(sf_dir: str, k: int = 2,
+                            num_buckets: int = 32) -> "rd.Dataset":
+    """Grouped top-k: each customer's k most expensive orders.
+    Bucketed by customer hash; inside a bucket one vectorized
+    sort + groupby.head(k)."""
+    import zlib
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = (df["o_custkey"].astype(str)
+                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("o_custkey", sort=False).head(k)
+        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+def customers_without_orders(sf_dir: str) -> "rd.Dataset":
+    """Anti join: customers who never placed an order above 300k. The
+    matching key set is broadcast (``ray.put`` of the distinct custkeys
+    — bounded by customer cardinality, not order count) and probed per
+    batch — no shuffle. (The >300k predicate keeps the result non-empty
+    at every test scale; an empty Dataset loses its schema in Ray and
+    would break the driver's schema check.)"""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        t = b.filter(pc.greater(b["o_totalprice"], 300000.0))
+        keys.update(t["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        mask = pa.array([k not in have for k in t["c_custkey"].to_pylist()],
+                        pa.bool_())
+        return t.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow", batch_size=65536)
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def customers_with_orders(sf_dir: str) -> "rd.Dataset":
+    """Semi join: customers that placed at least one order (broadcast
+    key-set membership filter)."""
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        mask = pa.array([k in have for k in t["c_custkey"].to_pylist()],
+                        pa.bool_())
+        return t.filter(mask)
+
+    return cust.map_batches(semi, batch_format="pyarrow", batch_size=65536)
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: grouped agg, JSON scalar fns, sessionization, windows, as-of join
 # ---------------------------------------------------------------------------
