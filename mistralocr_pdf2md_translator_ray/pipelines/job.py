@@ -64,6 +64,12 @@ def run_extract_job(
     if assemble:
         docs_dir = os.path.join(out_dir, "docs")
         if not os.path.exists(os.path.join(docs_dir, "_done")):
-            assemble_conversations(per_turn, salt_span=salt_span).write_parquet(docs_dir)
+            # the per-turn checkpoint store is re-consumable parquet, so
+            # the adaptive strategy (salt only hot conversations) applies
+            from ..stages.assemble import assemble_conversations_adaptive
+
+            assemble_conversations_adaptive(
+                per_turn, salt_span=salt_span or 256
+            ).write_parquet(docs_dir)
             open(os.path.join(docs_dir, "_done"), "w").close()
     return per_turn

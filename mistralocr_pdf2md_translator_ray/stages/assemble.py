@@ -156,6 +156,56 @@ def assemble_conversations_sorted(per_turn_ds):
     return docs.union(fixed).select_columns(["conv_id", "n_turns", "doc_md"])
 
 
+def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
+                                    salt_span: int = 256,
+                                    num_buckets: int = 64):
+    """Adaptive salting: salt ONLY conversations longer than
+    ``hot_threshold`` turns; everything else takes the cheap
+    single-phase path. Always-salting costs a second full-volume
+    shuffle that measured 2.7x the single-phase on a 50%%-hot corpus
+    whose hot group still fit one task — salting is a memory/straggler
+    guard, not a default tax.
+
+    Input contract: ``per_turn_ds`` must be re-consumable without
+    recompute (a checkpointed parquet read-back or a materialized
+    Dataset) — this function consumes it three times (count, cold
+    path, hot path). ``pipelines/job.py`` satisfies this with the
+    per-turn checkpoint store.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    counts_partial = per_turn_ds.select_columns(["conv_id"]).map_batches(
+        lambda df: df.groupby("conv_id", as_index=False).agg(
+            n=("conv_id", "size")),
+        batch_format="pandas", batch_size=65536,
+    )
+    counts = counts_partial.groupby("conv_id").aggregate(Sum("n", alias_name="n"))
+    hot = {
+        r["conv_id"]
+        for b in counts.iter_batches(batch_size=4096, batch_format="pandas")
+        for r in b[b["n"] > hot_threshold].to_dict("records")
+    }
+    if not hot:
+        return assemble_conversations(per_turn_ds, salt_span=None,
+                                      num_buckets=num_buckets)
+    hot_ref = ray.put(hot)
+
+    def split(t: pa.Table, want_hot: bool) -> pa.Table:
+        h = ray.get(hot_ref)
+        mask = pa.array([(c in h) == want_hot for c in t["conv_id"].to_pylist()],
+                        pa.bool_())
+        return t.filter(mask)
+
+    cold = per_turn_ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    hot_rows = per_turn_ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    cold_docs = assemble_conversations(cold, salt_span=None, num_buckets=num_buckets)
+    hot_docs = assemble_conversations(hot_rows, salt_span=salt_span,
+                                      num_buckets=max(8, num_buckets // 4))
+    return cold_docs.union(hot_docs)
+
+
 def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
                            num_buckets: int = 64):
     """per-turn Dataset (conv_id, turn_idx, ts, md, ...) -> one row per

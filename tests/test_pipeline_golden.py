@@ -153,6 +153,23 @@ class TestAssembly:
         exp = oracle_assemble(oracle_turns).to_pandas()
         pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
 
+    def test_adaptive_strategy_equals_oracle(self, pipeline_turns, oracle_turns):
+        from mistralocr_pdf2md_translator_ray.stages.assemble import (
+            assemble_conversations_adaptive,
+        )
+
+        # hot_threshold below the fixture's hot conversation size so the
+        # hot/salted path actually engages; materialized input satisfies
+        # the re-consumability contract
+        per_turn = self._per_turn_ds(pipeline_turns).materialize()
+        a = (
+            assemble_conversations_adaptive(per_turn, hot_threshold=40,
+                                            salt_span=16)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        exp = oracle_assemble(oracle_turns).to_pandas()
+        pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
+
     def test_sorted_strategy_equals_oracle(self, pipeline_turns, oracle_turns):
         from mistralocr_pdf2md_translator_ray.stages.assemble import (
             assemble_conversations_sorted,
