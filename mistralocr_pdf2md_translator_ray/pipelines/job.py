@@ -26,7 +26,10 @@ import ray.data as rd
 
 from ..state.checkpoint import run_checkpointed
 from .extract_pipeline import extract_turns
-from ..stages.assemble import assemble_conversations
+from ..stages.assemble import (
+    assemble_conversations,
+    assemble_conversations_adaptive,
+)
 
 
 def run_extract_job(
@@ -36,6 +39,8 @@ def run_extract_job(
     n_partitions: int = 16,
     assemble: bool = True,
     salt_span: int | None = 256,
+    hot_threshold: int = 10_000,
+    assembly_buckets: int = 64,
 ) -> "rd.Dataset":
     """Run (or resume) the flagship extraction; returns the per-turn
     Dataset read back from the checkpoint store."""
@@ -64,12 +69,19 @@ def run_extract_job(
     if assemble:
         docs_dir = os.path.join(out_dir, "docs")
         if not os.path.exists(os.path.join(docs_dir, "_done")):
-            # the per-turn checkpoint store is re-consumable parquet, so
-            # the adaptive strategy (salt only hot conversations) applies
-            from ..stages.assemble import assemble_conversations_adaptive
-
-            assemble_conversations_adaptive(
-                per_turn, salt_span=salt_span or 256
-            ).write_parquet(docs_dir)
+            if salt_span is None:
+                # caller explicitly opted out of salting entirely
+                docs = assemble_conversations(per_turn, salt_span=None,
+                                              num_buckets=assembly_buckets)
+            else:
+                # the per-turn checkpoint store is re-consumable parquet,
+                # so the adaptive strategy (salt only hot conversations)
+                # applies without re-materialization
+                docs = assemble_conversations_adaptive(
+                    per_turn, hot_threshold=hot_threshold,
+                    salt_span=salt_span, num_buckets=assembly_buckets,
+                    reusable_input=True,
+                )
+            docs.write_parquet(docs_dir)
             open(os.path.join(docs_dir, "_done"), "w").close()
     return per_turn

@@ -158,7 +158,8 @@ def assemble_conversations_sorted(per_turn_ds):
 
 def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
                                     salt_span: int = 256,
-                                    num_buckets: int = 64):
+                                    num_buckets: int = 64,
+                                    reusable_input: bool = False):
     """Adaptive salting: salt ONLY conversations longer than
     ``hot_threshold`` turns; everything else takes the cheap
     single-phase path. Always-salting costs a second full-volume
@@ -166,15 +167,21 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
     whose hot group still fit one task — salting is a memory/straggler
     guard, not a default tax.
 
-    Input contract: ``per_turn_ds`` must be re-consumable without
-    recompute (a checkpointed parquet read-back or a materialized
-    Dataset) — this function consumes it three times (count, cold
-    path, hot path). ``pipelines/job.py`` satisfies this with the
-    per-turn checkpoint store.
+    This function consumes its input three times (count, cold path, hot
+    path). Pass ``reusable_input=True`` ONLY when re-consumption is free
+    (a checkpointed parquet read-back, as in ``pipelines/job.py``, or an
+    already-materialized Dataset); otherwise the input is defensively
+    ``materialize()``d here so a lazy upstream pipeline is not
+    re-executed three times.
     """
     import ray
 
     from ray.data.aggregate import Sum
+
+    if not reusable_input:
+        per_turn_ds = per_turn_ds.materialize()
+
+    per_turn_ds = per_turn_ds.select_columns(["conv_id", "turn_idx", "ts", "md"])
 
     counts_partial = per_turn_ds.select_columns(["conv_id"]).map_batches(
         lambda df: df.groupby("conv_id", as_index=False).agg(
@@ -190,13 +197,13 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
     if not hot:
         return assemble_conversations(per_turn_ds, salt_span=None,
                                       num_buckets=num_buckets)
-    hot_ref = ray.put(hot)
+    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     def split(t: pa.Table, want_hot: bool) -> pa.Table:
-        h = ray.get(hot_ref)
-        mask = pa.array([(c in h) == want_hot for c in t["conv_id"].to_pylist()],
-                        pa.bool_())
-        return t.filter(mask)
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(t["conv_id"], value_set=ray.get(hot_ref))
+        return t.filter(mask if want_hot else pc.invert(mask))
 
     cold = per_turn_ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
     hot_rows = per_turn_ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")

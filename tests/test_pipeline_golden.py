@@ -170,6 +170,21 @@ class TestAssembly:
         exp = oracle_assemble(oracle_turns).to_pandas()
         pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
 
+    def test_adaptive_no_hot_fallback(self, pipeline_turns, oracle_turns):
+        from mistralocr_pdf2md_translator_ray.stages.assemble import (
+            assemble_conversations_adaptive,
+        )
+
+        # threshold above every conversation size -> empty hot set ->
+        # the unsalted fallback branch must run and still match
+        a = (
+            assemble_conversations_adaptive(
+                self._per_turn_ds(pipeline_turns), hot_threshold=10_000)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        exp = oracle_assemble(oracle_turns).to_pandas()
+        pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
+
     def test_sorted_strategy_equals_oracle(self, pipeline_turns, oracle_turns):
         from mistralocr_pdf2md_translator_ray.stages.assemble import (
             assemble_conversations_sorted,
