@@ -101,7 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_k": lib.events_json_k,
         "sessionize_events": lib.sessionize_events,
         "hourly_counts": lib.hourly_counts,
+        "rolling_avg_value": lib.rolling_avg_value,
+        "running_user_value": lib.running_user_value,
         "asof_purchase_click": lib.asof_purchase_click,
+        "approx_distinct_users": lib.approx_distinct_users,
         # more grouped aggregates (calendar window, dimension stats)
         "lang_counts": lib.lang_counts,
         "part_brand_stats": lib.part_brand_stats,
@@ -139,7 +142,11 @@ def oracle_sql() -> dict[str, str]:
         "events_json_k": lib.EVENTS_JSON_K_SQL,
         "sessionize_events": lib.SESSIONIZE_SQL,
         "hourly_counts": lib.HOURLY_COUNTS_SQL,
+        "rolling_avg_value": lib.ROLLING_AVG_SQL,
+        "running_user_value": lib.RUNNING_USER_VALUE_SQL,
         "asof_purchase_click": lib.ASOF_SQL,
+        # approx_distinct_users: HLL sketch, approximate by design ->
+        # rows-only check (error bound asserted in pytest)
         "lang_counts": lib.LANG_COUNTS_SQL,
         "part_brand_stats": lib.PART_BRAND_STATS_SQL,
         "orders_by_month": lib.ORDERS_BY_MONTH_SQL,

@@ -1,0 +1,60 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The scale pattern for distinct counting (guide: "emit one serialized
+sketch per batch and merge them in a second, tiny stage"): each batch
+produces a 4KiB register array; merging is an elementwise max, so the
+shuffle moves sketches, never values. Standard HLL with the
+Flajolet-Fouque-Gandouet-Meunier bias corrections; p=12 gives ~1.6%
+relative error.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P = 12
+M = 1 << P
+_REST_BITS = 64 - P
+
+
+def hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit scramble of int64/uint64 values
+    (splitmix64 finalizer — process-independent, unlike hash())."""
+    x = values.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def hll_partial(hashes: np.ndarray) -> np.ndarray:
+    """Register array (uint8[M]) for one batch of 64-bit hashes."""
+    reg = np.zeros(M, dtype=np.uint8)
+    if len(hashes) == 0:
+        return reg
+    idx = (hashes >> np.uint64(_REST_BITS)).astype(np.int64)
+    rest = hashes & np.uint64((1 << _REST_BITS) - 1)
+    # bit_length via exact float64 log2 (rest < 2^52, exactly representable)
+    bl = np.where(rest > 0,
+                  np.floor(np.log2(rest.astype(np.float64))).astype(np.int64) + 1,
+                  0)
+    rank = (_REST_BITS - bl + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Bias-corrected cardinality estimate."""
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+    inv = np.power(2.0, -reg.astype(np.float64))
+    raw = alpha * M * M / inv.sum()
+    zeros = int((reg == 0).sum())
+    if raw <= 2.5 * M and zeros > 0:
+        return M * np.log(M / zeros)  # linear counting small-range fix
+    return raw

@@ -579,6 +579,89 @@ FROM events GROUP BY 1, 2
 """
 
 
+def rolling_avg_value(sf_dir: str, window: int = 5,
+                      num_buckets: int = 32) -> "rd.Dataset":
+    """Rolling window aggregate: per user, the running mean of `value`
+    over the last `window` events (ts order). Bucketed by user hash,
+    vectorized pandas rolling inside buckets; exact-unit parity with
+    the SQL window frame."""
+    import zlib
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = (df["user_id"].astype(str)
+                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.assign(v_u=np.floor(g["value"] * 100 + 0.5).astype("int64"))
+        roll = g.groupby("user_id", sort=False)["v_u"].rolling(
+            window, min_periods=1)
+        sums = roll.sum().reset_index(drop=True).astype("int64")
+        ns = roll.count().reset_index(drop=True).astype("int64")
+        g = g.reset_index(drop=True)
+        g["rolling_avg"] = (sums / 100.0 / ns).round(6)
+        return g[["event_id", "user_id", "ts", "rolling_avg"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+ROLLING_AVG_SQL = """
+SELECT event_id, user_id, ts,
+       round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  OVER w AS BIGINT) / 100.0
+             / count(*) OVER w, 6) AS rolling_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def running_user_value(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
+    """Cumulative sum per user in ts order (running total) — the
+    classic ordered window aggregate, exact-unit parity."""
+    import zlib
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = (df["user_id"].astype(str)
+                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.assign(v_u=np.floor(g["value"] * 100 + 0.5).astype("int64"))
+        g["running_total"] = (
+            g.groupby("user_id", sort=False)["v_u"].cumsum() / 100.0
+        )
+        return g[["event_id", "user_id", "ts", "running_total"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+RUNNING_USER_VALUE_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0
+           AS running_total
+FROM events
+"""
+
+
 def asof_purchase_click(sf_dir: str) -> "rd.Dataset":
     """As-of join: for each purchase, the user's most recent click at or
     before it. Bucketed by user hash; inside a bucket one vectorized
@@ -630,6 +713,32 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+def approx_distinct_users(sf_dir: str) -> "rd.Dataset":
+    """HLL approximate distinct user count: one 4KiB sketch per batch,
+    merged on the driver (sketches are tiny and mergeable — the shuffle
+    moves registers, never user ids). Approximate by construction, so
+    it's a rows-only driver check; the ~1.6%% error bound is asserted in
+    pytest against the exact count."""
+    from ..functions.sketch import hash64, hll_estimate, hll_merge, hll_partial
+
+    ds = _pq(sf_dir, "events", ["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        reg = hll_partial(hash64(t["user_id"].to_numpy()))
+        return pa.table({"registers": pa.array([reg.tobytes()], pa.binary())})
+
+    merged = None
+    for b in (
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=65536)
+        .iter_batches(batch_size=256, batch_format="pyarrow")
+    ):
+        for blob in b["registers"].to_pylist():
+            reg = np.frombuffer(blob, dtype=np.uint8)
+            merged = reg if merged is None else hll_merge(merged, reg)
+    estimate = 0 if merged is None else int(round(hll_estimate(merged)))
+    return rd.from_items([{"approx_distinct_users": estimate}])
 
 
 # ---------------------------------------------------------------------------
