@@ -166,6 +166,11 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("lang_counts", lambda: lib.lang_counts(SF_DIR))
     timed("part_brand_stats", lambda: lib.part_brand_stats(SF_DIR))
     timed("orders_by_month", lambda: lib.orders_by_month(SF_DIR))
+    timed("rolling_avg_value", lambda: lib.rolling_avg_value(SF_DIR))
+    timed("running_user_value", lambda: lib.running_user_value(SF_DIR))
+    timed("approx_distinct_users", lambda: lib.approx_distinct_users(SF_DIR))
+    timed("top_orders_per_customer", lambda: lib.top_orders_per_customer(SF_DIR))
+    timed("customers_without_orders", lambda: lib.customers_without_orders(SF_DIR))
     timed("dedup_ngram", lambda: dd.dedup_ngram(SF_DIR))
     timed("dedup_simhash", lambda: dd.dedup_simhash(SF_DIR))
     timed("neardup_embedding", lambda: dd.neardup_embedding(SF_DIR))
