@@ -76,10 +76,15 @@ def _broadcast_child_map(child_mat: "ray.data.Dataset"):
     return ray.put(cmap)
 
 
-def _child_partial_refs(payloads_path: str):
+def _child_partial_refs(payloads_path: str, conv_filter=None):
     """Launch raw Ray tasks computing per-shard child partial maps
     {(conv, turn): {payload_id: extracted}}; returns pending refs (or
-    None if the path holds no parquet files)."""
+    None if the path holds no parquet files).
+
+    ``conv_filter`` is an optional ``(part_ids:set, n_partitions:int)``
+    restricting extraction to conversations hashing into those
+    partitions (resume path: don't re-extract children for completed
+    partitions)."""
     import os
 
     import ray
@@ -103,6 +108,8 @@ def _child_partial_refs(payloads_path: str):
 
     @ray.remote
     def _partial(shard: list[str]) -> dict:
+        import zlib
+
         import pyarrow.parquet as pq
 
         from ..functions.extract import extract_child_payload
@@ -112,6 +119,16 @@ def _child_partial_refs(payloads_path: str):
             t = pq.read_table(
                 f, columns=["conv_id", "turn_idx", "payload_id", "kind", "payload"]
             )
+            if conv_filter is not None:
+                part_ids, n_parts = conv_filter
+                import pyarrow as _pa
+
+                mask = _pa.array(
+                    [zlib.crc32(c.encode("utf-8")) % n_parts in part_ids
+                     for c in t["conv_id"].to_pylist()],
+                    _pa.bool_(),
+                )
+                t = t.filter(mask)
             for conv, turn, pid, kind, blob in zip(
                 t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
                 t["payload_id"].to_pylist(), t["kind"].to_pylist(),
@@ -189,6 +206,7 @@ def extract_turns(
     join_partitions: int = 16,  # cogroup path bucket sizing
     child_join: str = "auto",   # "auto" | "broadcast" | "cogroup"
     payloads_path: Optional[str] = None,  # enables the overlapped path
+    conv_filter=None,  # (part_ids, n_partitions) resume restriction
 ) -> "ray.data.Dataset":
     """Per-turn extraction; returns Dataset with columns
     (conv_id, turn_idx, role, tool, ts, md, n_tokens, status, error).
@@ -219,7 +237,7 @@ def extract_turns(
         # actor awaits the partial refs in __init__ while the main
         # pipeline's read stages already stream. Falls back to the
         # Dataset path when only a Dataset was provided.
-        refs = _child_partial_refs(payloads_path)
+        refs = _child_partial_refs(payloads_path, conv_filter=conv_filter)
         if refs is not None:
             return _broadcast_pipeline(
                 transcripts, plain_pool,

@@ -46,12 +46,16 @@ def run_extract_job(
     Dataset read back from the checkpoint store."""
     turns_ckpt = os.path.join(out_dir, "turns")
 
-    def transform(pending: "rd.Dataset") -> "rd.Dataset":
+    def transform(pending: "rd.Dataset", missing=None) -> "rd.Dataset":
         # part_id must survive the pipeline for partitioned output; the
         # extract pipeline preserves input columns it doesn't consume,
         # but its finalize projects a fixed schema — so re-derive
         # part_id on the way out (same crc32 rule, zero-cost).
-        out = extract_turns(pending, payloads_path=payloads_path)
+        # `missing` prunes the child phase to pending partitions on
+        # resume (completed partitions' payloads are never re-extracted).
+        conv_filter = (missing, n_partitions) if missing else None
+        out = extract_turns(pending, payloads_path=payloads_path,
+                            conv_filter=conv_filter)
         from ..state.checkpoint import add_part_id
 
         return add_part_id(out, "conv_id", n_partitions)

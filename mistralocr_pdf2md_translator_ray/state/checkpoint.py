@@ -129,7 +129,14 @@ def run_checkpointed(
         pending = add_part_id(ds, key, n_partitions).map_batches(
             only_missing, batch_format="pyarrow"
         )
-        out = transform(pending)
+        import inspect
+
+        if "missing" in inspect.signature(transform).parameters:
+            # transforms that can prune side inputs (e.g. the child
+            # payload phase) get told which partitions are pending
+            out = transform(pending, missing=missing_set)
+        else:
+            out = transform(pending)
         # clear any partial leftovers from a crashed previous attempt
         for p in missing:
             part_dir = os.path.join(data_dir, f"part_id={p}")
