@@ -97,6 +97,28 @@ class TestCogroupPathEquality:
                                       check_dtype=False)
 
 
+class TestAutoFallbackEquality:
+    """child_join='auto' must fall back to the cogroup path when the
+    aggregated child table exceeds the broadcast bound — and still be
+    byte-identical."""
+
+    def test_auto_falls_back_when_children_exceed_bound(
+            self, tiny_fixture, oracle_turns, monkeypatch):
+        from mistralocr_pdf2md_translator_ray.pipelines import extract_pipeline as ep
+
+        monkeypatch.setattr(ep, "BROADCAST_CHILD_MAX_ROWS", 1)
+        t, p = tiny_fixture
+        got = _canon(
+            ep.extract_turns(rd.from_arrow(t), rd.from_arrow(p))
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = _as_sorted_pdf(oracle_turns)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                      check_dtype=False)
+
+
 class TestOverlappedPathEquality:
     """The raw-task overlapped broadcast path (payloads_path input) must
     match the oracle byte-for-byte too."""
