@@ -74,6 +74,34 @@ class TestTokenCountProperties:
         assert token_count(s) == len(s.split())
 
 
+class TestLayoutProperties:
+    @given(st.lists(
+        st.tuples(st.integers(0, 1),            # column
+                  st.integers(0, 40),           # line number
+                  st.text(alphabet="abcdef ", min_size=1, max_size=12)),
+        min_size=1, max_size=30, unique_by=lambda t: (t[0], t[1])),
+        st.randoms())
+    @settings(max_examples=60, deadline=None)
+    def test_span_order_invariance(self, spans, rnd):
+        """Reading order is computed from coordinates, never inherited
+        from input span order."""
+        import json
+
+        from mistralocr_pdf2md_translator_ray.functions import layout_to_markdown
+
+        def build(span_list):
+            return json.dumps({"pages": [{"w": 612, "h": 792, "spans": [
+                {"x": 50 + 300 * col, "y": 60 + 14 * line, "w": 200, "h": 12,
+                 "text": text}
+                for col, line, text in span_list
+            ]}]})
+
+        base = layout_to_markdown(build(spans))
+        shuffled = list(spans)
+        rnd.shuffle(shuffled)
+        assert layout_to_markdown(build(shuffled)) == base
+
+
 class TestMinHashProperties:
     @given(st.text(min_size=30, max_size=300))
     @settings(max_examples=50, deadline=None)
