@@ -152,6 +152,10 @@ def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict):
         solo_pool["concurrency"] = (cpus * 5) // 8
     elif cpus >= 6:
         solo_pool["concurrency"] = cpus // 2
+    # larger batches amortize the Arrow<->Python conversion (measured
+    # +12% at 4096 vs 1024 on ~1-2KB turns); for corpora with very wide
+    # turns lower this so batch bytes x pool size fits worker heaps
+    solo_pool["batch_size"] = 4096
     return transcripts.map_batches(
         ExtractFinalizeBroadcast,
         batch_format="pyarrow",
