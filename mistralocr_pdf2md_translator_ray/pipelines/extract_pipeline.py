@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Optional
 
 import ray.data
+import ray.data as rd
 
 from ..stages.extract import (
     CHILD_SCHEMA,
@@ -76,31 +77,62 @@ def _broadcast_child_map(child_mat: "ray.data.Dataset"):
     return ray.put(cmap)
 
 
-def _child_partial_refs(payloads_path: str, conv_filter=None):
+def _payload_files(payloads_path: str) -> list[str]:
+    """Top-level parquet files under a LOCAL payloads path (the
+    overlapped raw-task path's listing; non-local URIs and nested
+    layouts return [] and route through ``ray.data.read_parquet``,
+    which resolves them itself)."""
+    import os
+
+    if os.path.isdir(payloads_path):
+        return sorted(
+            os.path.join(payloads_path, f)
+            for f in os.listdir(payloads_path)
+            if f.endswith(".parquet")
+        )
+    if payloads_path.endswith(".parquet") and os.path.exists(payloads_path):
+        return [payloads_path]
+    return []
+
+
+def _parquet_meta_rows(files: list[str]) -> int:
+    """Total row count from parquet FOOTER metadata only — no column
+    data is read, so bounding the broadcast path costs milliseconds
+    even when the payload table is 100x too big to broadcast."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _filter_conv_partitions(payloads: "rd.Dataset", conv_filter) -> "rd.Dataset":
+    """Restrict a payloads Dataset to conversations hashing into the
+    pending partitions (resume path for the non-broadcast route)."""
+    import zlib
+
+    import pyarrow as pa
+
+    part_ids, n_parts = conv_filter
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [zlib.crc32(c.encode("utf-8")) % n_parts in part_ids
+             for c in t["conv_id"].to_pylist()],
+            pa.bool_(),
+        )
+        return t.filter(mask)
+
+    return payloads.map_batches(fn, batch_format="pyarrow")
+
+
+def _child_partial_refs(files: list[str], conv_filter=None):
     """Launch raw Ray tasks computing per-shard child partial maps
-    {(conv, turn): {payload_id: extracted}}; returns pending refs (or
-    None if the path holds no parquet files).
+    {(conv, turn): {payload_id: extracted}}; returns pending refs.
 
     ``conv_filter`` is an optional ``(part_ids:set, n_partitions:int)``
     restricting extraction to conversations hashing into those
     partitions (resume path: don't re-extract children for completed
     partitions)."""
-    import os
-
     import ray
-
-    if os.path.isdir(payloads_path):
-        files = sorted(
-            os.path.join(payloads_path, f)
-            for f in os.listdir(payloads_path)
-            if f.endswith(".parquet")
-        )
-    elif payloads_path.endswith(".parquet"):
-        files = [payloads_path]
-    else:
-        files = []
-    if not files:
-        return None
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     k = max(1, min(len(files), cpus))
@@ -239,14 +271,33 @@ def extract_turns(
         # cannot express "start the main stream now, block the splice
         # actors on a still-running side computation"); each fused
         # actor awaits the partial refs in __init__ while the main
-        # pipeline's read stages already stream. Falls back to the
-        # Dataset path when only a Dataset was provided.
-        refs = _child_partial_refs(payloads_path, conv_filter=conv_filter)
-        if refs is not None:
-            return _broadcast_pipeline(
-                transcripts, plain_pool,
-                {"cmap_refs": refs, "extra_extractors": get_registry()})
-        payloads = payloads if payloads is not None else rd.read_parquet(payloads_path)
+        # pipeline's read stages already stream.
+        #
+        # The broadcast is BOUNDED: total child rows come from parquet
+        # footer metadata (no data read); past BROADCAST_CHILD_MAX_ROWS
+        # the merged per-actor map would not fit worker heaps at scale,
+        # so "auto" re-routes to the streaming cogroup join instead
+        # (byte-identical output — TestCogroupPathEquality).
+        files = _payload_files(payloads_path)
+        if files:
+            n_child_rows = _parquet_meta_rows(files)
+            if child_join == "broadcast" or n_child_rows <= BROADCAST_CHILD_MAX_ROWS:
+                refs = _child_partial_refs(files, conv_filter=conv_filter)
+                return _broadcast_pipeline(
+                    transcripts, plain_pool,
+                    {"cmap_refs": refs, "extra_extractors": get_registry()})
+            payloads = rd.read_parquet(files)
+            if conv_filter is not None:
+                payloads = _filter_conv_partitions(payloads, conv_filter)
+            child_join = "cogroup"
+        else:
+            # No top-level local parquet files (remote URI, nested
+            # layout, or caller passed a Dataset alongside the path):
+            # fall back to the Dataset route via Ray's own reader.
+            if payloads is None:
+                payloads = rd.read_parquet(payloads_path)
+            if conv_filter is not None:
+                payloads = _filter_conv_partitions(payloads, conv_filter)
 
     if payloads is None:
         return transcripts.map_batches(

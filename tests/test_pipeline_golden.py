@@ -141,6 +141,91 @@ class TestOverlappedPathEquality:
                                       check_dtype=False)
 
 
+class TestOverlappedBound:
+    """The overlapped broadcast path must be BOUNDED: when parquet
+    footer metadata says the child table exceeds the broadcast cap,
+    auto mode must re-route to the streaming cogroup join (never
+    launching the partial-map tasks) and stay byte-identical."""
+
+    def test_over_bound_reroutes_to_cogroup(self, tiny_fixture, oracle_turns,
+                                            tmp_path, monkeypatch):
+        import pyarrow.parquet as pq
+
+        from mistralocr_pdf2md_translator_ray.pipelines import extract_pipeline as ep
+
+        t, p = tiny_fixture
+        p_path = str(tmp_path / "payloads.parquet")
+        pq.write_table(p, p_path)
+        monkeypatch.setattr(ep, "BROADCAST_CHILD_MAX_ROWS", 1)
+
+        def _no_broadcast(*a, **k):
+            raise AssertionError("partial-map broadcast must not launch past the bound")
+
+        monkeypatch.setattr(ep, "_child_partial_refs", _no_broadcast)
+        got = _canon(
+            ep.extract_turns(rd.from_arrow(t), payloads_path=p_path)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = _as_sorted_pdf(oracle_turns)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                      check_dtype=False)
+
+    def test_meta_rows_counts_without_reading_data(self, tiny_fixture, tmp_path):
+        import pyarrow.parquet as pq
+
+        from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+            _parquet_meta_rows,
+            _payload_files,
+        )
+
+        _, p = tiny_fixture
+        d = tmp_path / "payloads"
+        d.mkdir()
+        pq.write_table(p.slice(0, p.num_rows // 2), str(d / "a.parquet"))
+        pq.write_table(p.slice(p.num_rows // 2), str(d / "b.parquet"))
+        files = _payload_files(str(d))
+        assert len(files) == 2
+        assert _parquet_meta_rows(files) == p.num_rows
+
+    def test_empty_dir_with_dataset_falls_back(self, tiny_fixture, oracle_turns,
+                                               tmp_path):
+        t, p = tiny_fixture
+        empty = tmp_path / "no_parquet_here"
+        empty.mkdir()
+        got = _canon(
+            extract_turns(rd.from_arrow(t), payloads=rd.from_arrow(p),
+                          payloads_path=str(empty))
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = _as_sorted_pdf(oracle_turns)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                      check_dtype=False)
+
+    def test_nested_dir_reader_fallback(self, tiny_fixture, oracle_turns,
+                                        tmp_path):
+        """Nested layout: no top-level parquet files, no Dataset passed
+        -> the ray.data.read_parquet fallback (round-1 NameError site)."""
+        import pyarrow.parquet as pq
+
+        t, p = tiny_fixture
+        nested = tmp_path / "payloads" / "shard=0"
+        nested.mkdir(parents=True)
+        pq.write_table(p, str(nested / "part.parquet"))
+        got = _canon(
+            extract_turns(rd.from_arrow(t), payloads_path=str(tmp_path / "payloads"))
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = _as_sorted_pdf(oracle_turns)
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                      check_dtype=False)
+
+
 class TestAssembly:
     """Assembly is tested from the session-scoped per-turn result (one
     extraction run per session; assembly itself is what's under test).
