@@ -176,26 +176,28 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 # ---------------------------------------------------------------------------
 
 def revenue_by_nation(sf_dir: str) -> "rd.Dataset":
-    """lineitem |><| orders (bucketed co-group hash join) with
-    customer->nation resolved via a broadcast lookup.
+    """lineitem |><| orders |><| customer via two bucketed co-group hash
+    joins, with only the truly-tiny nation table (25 rows, fixed
+    cardinality) broadcast.
 
     Scale shape: lineitem pre-aggregates to one (orderkey, revenue)
-    partial row per orderkey per batch BEFORE the join shuffle (the
-    exchange moves partials, not line items); the join itself is the
-    generic bucketed co-group (stages/joins.py); the tiny
-    customer->nation and nation-name maps ride the object store once
-    (``ray.put``) and every merge task probes them locally.
+    partial row per orderkey per batch BEFORE the first join shuffle
+    (the exchange moves partials, not line items); the first cogroup
+    resolves orderkey->custkey and RE-aggregates to per-custkey partials
+    inside each bucket, so the second shuffle (against customer — a
+    fact-scaled table that must NOT be broadcast) moves at most one row
+    per custkey per bucket. The second cogroup maps custkey->nationkey
+    and pre-aggregates to per-nation partials; the final groupby
+    touches ~25 x buckets rows.
     """
     from ..stages.joins import cogroup
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    lookup_ref = ray.put((cust_to_nation, nation_name))
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         rev_u = np.floor(
@@ -210,31 +212,55 @@ def revenue_by_nation(sf_dir: str) -> "rd.Dataset":
         batch_format="pandas",
     )
 
-    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        c2n, n2name = ray.get(lookup_ref)
+    def merge_orders(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         m = ldf.merge(rdf, on="l_orderkey", how="inner")
         if m.empty:
-            return pd.DataFrame({"n_name": pd.Series(dtype=str),
+            return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                                  "rev": pd.Series(dtype="int64")})
-        m["n_name"] = m["o_custkey"].map(c2n).map(n2name)
-        return m.groupby("n_name", as_index=False).agg(rev=("rev", "sum"))
+        m = m.rename(columns={"o_custkey": "c_custkey"})
+        # the union schema null-coerced these to float64; restore exact
+        # int64 BEFORE summing (post-inner-join there are no NaNs, and
+        # int64 summation keeps the exact-unit invariant)
+        m = m.astype({"c_custkey": "int64", "rev": "int64"})
+        return m.groupby("c_custkey", as_index=False).agg(rev=("rev", "sum"))
 
-    joined = cogroup(
+    per_custkey = cogroup(
         li_agg,
         orders_k,
         on=["l_orderkey"],
-        merge_fn=merge,
+        merge_fn=merge_orders,
         left_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
         right_schema=pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
         num_buckets=32,
     )
 
+    def merge_customer(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        m = ldf.merge(rdf, on="c_custkey", how="inner")
+        if m.empty:
+            return pd.DataFrame({"n_nationkey": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="int64")})
+        m = m.rename(columns={"c_nationkey": "n_nationkey"})
+        m = m.astype({"n_nationkey": "int64", "rev": "int64"})
+        return m.groupby("n_nationkey", as_index=False).agg(rev=("rev", "sum"))
+
+    per_nation = cogroup(
+        per_custkey,
+        customer,
+        on=["c_custkey"],
+        merge_fn=merge_customer,
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("rev", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+        num_buckets=32,
+    )
+
     from ray.data.aggregate import Sum
 
-    final = joined.groupby("n_name").aggregate(Sum("rev", alias_name="rev"))
+    final = per_nation.groupby("n_nationkey").aggregate(Sum("rev", alias_name="rev"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n_name": df["n_name"], "revenue": df["rev"] / 10000.0})
+        n2name = ray.get(nation_ref)
+        return pd.DataFrame({"n_name": df["n_nationkey"].map(n2name),
+                             "revenue": df["rev"] / 10000.0})
 
     return final.map_batches(finish, batch_format="pandas")
 
@@ -350,29 +376,52 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 """
 
 
+def _semi_anti_custkeys(cust: "rd.Dataset", keys: "rd.Dataset",
+                        anti: bool) -> "rd.Dataset":
+    """Distributed semi/anti join of customer against a custkey Dataset.
+
+    The key side is pre-reduced to per-batch uniques by the caller, then
+    both sides co-partition through ONE bucketed shuffle (stages/joins);
+    inside each bucket the membership test is a vectorized ``isin``.
+    Nothing ever iterates the fact table through the driver, and no
+    side is assumed to fit in one process's memory.
+    """
+    from ..stages.joins import cogroup
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        mask = ldf["c_custkey"].isin(set(rdf["c_custkey"]))
+        out = ldf[~mask if anti else mask]
+        return out[["c_custkey", "c_name"]]
+
+    return cogroup(
+        cust,
+        keys,
+        on=["c_custkey"],
+        merge_fn=merge,
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+        num_buckets=32,
+    )
+
+
 def customers_without_orders(sf_dir: str) -> "rd.Dataset":
-    """Anti join: customers who never placed an order above 300k. The
-    matching key set is broadcast (``ray.put`` of the distinct custkeys
-    — bounded by customer cardinality, not order count) and probed per
-    batch — no shuffle. (The >300k predicate keeps the result non-empty
-    at every test scale; an empty Dataset loses its schema in Ray and
-    would break the driver's schema check.)"""
+    """Anti join: customers who never placed an order above 300k.
+    The order keys reduce to per-batch distinct custkeys (vectorized
+    filter + unique — the shuffle moves uniques, not orders), then a
+    bucketed co-group does the anti-membership test per bucket. (The
+    >300k predicate keeps the result non-empty at every test scale; an
+    empty Dataset loses its schema in Ray and would break the driver's
+    schema check.)"""
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        t = b.filter(pc.greater(b["o_totalprice"], 300000.0))
-        keys.update(t["o_custkey"].to_pylist())
-    keys_ref = ray.put(keys)
 
+    def batch_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], 300000.0))
+        return pa.table({"c_custkey": pc.unique(t["o_custkey"])})
+
+    keys = orders.map_batches(batch_keys, batch_format="pyarrow",
+                              batch_size=65536)
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    def anti(t: pa.Table) -> pa.Table:
-        have = ray.get(keys_ref)
-        mask = pa.array([k not in have for k in t["c_custkey"].to_pylist()],
-                        pa.bool_())
-        return t.filter(mask)
-
-    return cust.map_batches(anti, batch_format="pyarrow", batch_size=65536)
+    return _semi_anti_custkeys(cust, keys, anti=True)
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
@@ -383,23 +432,18 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 
 def customers_with_orders(sf_dir: str) -> "rd.Dataset":
-    """Semi join: customers that placed at least one order (broadcast
-    key-set membership filter)."""
+    """Semi join: customers that placed at least one order. Same
+    distributed shape as the anti join: per-batch distinct order keys
+    -> one bucketed co-group -> vectorized membership per bucket."""
     orders = _pq(sf_dir, "orders", ["o_custkey"])
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    keys_ref = ray.put(keys)
 
+    def batch_keys(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": pc.unique(t["o_custkey"])})
+
+    keys = orders.map_batches(batch_keys, batch_format="pyarrow",
+                              batch_size=65536)
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    def semi(t: pa.Table) -> pa.Table:
-        have = ray.get(keys_ref)
-        mask = pa.array([k in have for k in t["c_custkey"].to_pylist()],
-                        pa.bool_())
-        return t.filter(mask)
-
-    return cust.map_batches(semi, batch_format="pyarrow", batch_size=65536)
+    return _semi_anti_custkeys(cust, keys, anti=False)
 
 
 CUSTOMERS_WITH_ORDERS_SQL = """

@@ -46,12 +46,15 @@ def _tag(ds: "rd.Dataset", schema: pa.Schema, on: list[str], side: int,
                 cols[field.name] = t[field.name].cast(field.type)
             else:
                 cols[field.name] = pa.nulls(n, field.type)
-        key0 = t[on[0]].to_pylist()
+        # Bucket on the CAST key columns, never the raw input ones: a
+        # side whose key arrived as float64 (pandas null-coercion from
+        # an earlier cogroup) would otherwise hash "123.0" while the
+        # other side hashes "123" — silently dropping every match.
         if len(on) > 1:
-            key_parts = [t[c].to_pylist() for c in on]
+            key_parts = [cols[c].to_pylist() for c in on]
             keys = ["\x1f".join(str(v) for v in row) for row in zip(*key_parts)]
         else:
-            keys = key0
+            keys = cols[on[0]].to_pylist()
         cols[SIDE_COL] = pa.array([side] * n, pa.int8())
         cols[BUCKET_COL] = pa.array(_bucket_of(keys, B), pa.int32())
         return pa.table(cols)
