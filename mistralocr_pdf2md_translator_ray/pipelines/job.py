@@ -73,6 +73,15 @@ def run_extract_job(
     if assemble:
         docs_dir = os.path.join(out_dir, "docs")
         if not os.path.exists(os.path.join(docs_dir, "_done")):
+            # crash-safe rerun: a previous attempt that died mid-write
+            # left uniquely-named partial parquet files with no _done
+            # marker; clear them or readers would see duplicated
+            # conversations (the turns phase has the equivalent
+            # per-partition cleanup in state/checkpoint.py)
+            if os.path.isdir(docs_dir):
+                import shutil
+
+                shutil.rmtree(docs_dir)
             if salt_span is None:
                 # caller explicitly opted out of salting entirely
                 docs = assemble_conversations(per_turn, salt_span=None,

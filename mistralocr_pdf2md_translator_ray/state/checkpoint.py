@@ -33,6 +33,23 @@ import ray
 import ray.data as rd
 
 _LINEAGE = "_lineage.json"
+_META = "_meta.json"
+
+
+def _load_meta(ckpt_dir: str) -> dict | None:
+    path = os.path.join(ckpt_dir, _META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _save_meta(ckpt_dir: str, meta: dict) -> None:
+    path = os.path.join(ckpt_dir, _META)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, path)
 
 
 def part_id_for_key(key: str, n_partitions: int) -> int:
@@ -115,6 +132,25 @@ def run_checkpointed(
     os.makedirs(data_dir, exist_ok=True)
 
     lineage = load_lineage(ckpt_dir)
+
+    # Resume validation (never trust stale state silently):
+    # - a different partition count invalidates the whole hash layout
+    #   (part_id = crc32 % N changed for every row) -> full recompute
+    # - a per-partition entry recorded against a different input
+    #   fragment is stale -> recompute just that partition
+    meta = _load_meta(ckpt_dir)
+    if meta is not None and meta.get("n_partitions") != n_partitions:
+        lineage = {}
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+            os.makedirs(data_dir, exist_ok=True)
+    stale = [p for p, v in lineage.items()
+             if v.get("input_fragment", "") != input_fragment]
+    for p in stale:
+        del lineage[p]
+    _save_meta(ckpt_dir, {"n_partitions": n_partitions, "key": key,
+                          "input_fragment": input_fragment})
+
     missing = [p for p in range(n_partitions) if p not in lineage]
 
     if missing:

@@ -116,6 +116,89 @@ class TestCheckpointResume:
                {k: v["content_hash"] for k, v in l2.items()}
 
 
+class TestResumeValidation:
+    """Resume must never trust stale state: changed inputs or a changed
+    partition count invalidate the affected lineage entries."""
+
+    def test_changed_input_fragment_recomputes_all(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        out1 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m1")),
+            ckpt, key="conv_id", n_partitions=N_PARTS, input_fragment="v1"))
+
+        # same data, different declared input fragment -> every lineage
+        # entry is stale -> full recompute (markers prove it ran)
+        m2 = str(tmp_path / "m2")
+        out2 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(m2),
+            ckpt, key="conv_id", n_partitions=N_PARTS, input_fragment="v2"))
+        touched = sorted(int(f.split("-")[1]) for f in os.listdir(m2))
+        assert touched == list(range(N_PARTS))
+        pd.testing.assert_frame_equal(out1, out2)
+        lineage = load_lineage(ckpt)
+        assert all(v["input_fragment"] == "v2" for v in lineage.values())
+
+    def test_same_input_fragment_noop(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m1")),
+            ckpt, key="conv_id", n_partitions=N_PARTS, input_fragment="v1")
+        m2 = str(tmp_path / "m2")
+        run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(m2),
+            ckpt, key="conv_id", n_partitions=N_PARTS, input_fragment="v1")
+        assert not os.path.exists(m2)  # zero recompute
+
+    def test_changed_n_partitions_recomputes_from_scratch(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        out1 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m1")),
+            ckpt, key="conv_id", n_partitions=N_PARTS))
+
+        # different partition count -> crc32 % N layout changed for
+        # every row -> whole store invalid -> rebuilt, output identical
+        out2 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m2")),
+            ckpt, key="conv_id", n_partitions=N_PARTS * 2))
+        pd.testing.assert_frame_equal(out1, out2)
+        assert sorted(load_lineage(ckpt)) == list(range(N_PARTS * 2))
+        # stale part dirs from the old layout are gone
+        dirs = sorted(os.listdir(os.path.join(ckpt, "data")))
+        assert all(int(d.split("=")[1]) < N_PARTS * 2 for d in dirs)
+
+
+class TestDocsPhaseCrashSafety:
+    def test_partial_docs_dir_cleared_on_rerun(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from mistralocr_pdf2md_translator_ray.pipelines.job import run_extract_job
+        from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+
+        t, p = generate_transcripts(n_convs=6, n_turns=40, seed=11)
+        tp = str(tmp_path / "transcripts.parquet")
+        pp = str(tmp_path / "payloads.parquet")
+        pq.write_table(t, tp)
+        pq.write_table(p, pp)
+        out = str(tmp_path / "out")
+
+        run_extract_job(tp, pp, out, n_partitions=4, assemble=True, salt_span=None)
+        docs_dir = os.path.join(out, "docs")
+        clean = rd.read_parquet(docs_dir).to_pandas().sort_values(
+            "conv_id").reset_index(drop=True)
+
+        # simulate a crash mid-docs-write: partial files present, no _done
+        os.remove(os.path.join(docs_dir, "_done"))
+        files = [f for f in os.listdir(docs_dir) if f.endswith(".parquet")]
+        shutil.copyfile(os.path.join(docs_dir, files[0]),
+                        os.path.join(docs_dir, "leftover_partial.parquet"))
+
+        run_extract_job(tp, pp, out, n_partitions=4, assemble=True, salt_span=None)
+        rerun = rd.read_parquet(docs_dir).to_pandas().sort_values(
+            "conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(rerun, clean)  # no duplicated convs
+        assert os.path.exists(os.path.join(docs_dir, "_done"))
+
+
 def test_part_id_stable():
     assert part_id_for_key("conv-000001", 16) == part_id_for_key("conv-000001", 16)
     assert 0 <= part_id_for_key("anything", 7) < 7
