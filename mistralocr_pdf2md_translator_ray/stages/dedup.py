@@ -9,13 +9,14 @@ Four detectors, each the standard shape for web-scale dedup:
     -> cluster (union-find) -> keep min doc_id per cluster
 
 Scale notes: the shuffle only moves sketch rows (16 x 16B per doc), not
-text. Candidate-pair verification re-reads only the colliding docs'
-shingle sets, which are recomputed per pair batch (cheaper than
-shipping shingles through the shuffle). Clustering here runs driver-side
-union-find over the *verified pair list* — at 100 TB that list still
-fits RAM for realistic dup rates (pairs ~ dup docs, not corpus size);
-the fallback for adversarial dup rates is iterative min-label
-propagation (a few groupby rounds), noted inline.
+text. Candidate-pair verification is sharded across raw Ray tasks —
+each shard reads ONLY its colliding docs via parquet predicate
+pushdown and recomputes their shingle sets locally (cheaper than
+shipping shingles through the shuffle). Clustering is adaptive:
+driver-side union-find while the verified pair list is small
+(pairs ~ dup docs, not corpus size), switching to distributed
+min-label propagation (bucketed co-group rounds over the edge set)
+past ``_UNION_FIND_MAX_PAIRS`` — the two paths are equality-tested.
 """
 
 from __future__ import annotations
@@ -67,10 +68,85 @@ def _union_find(n_pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+_UNION_FIND_MAX_PAIRS = 1_000_000
+
+
+def _removed_by_label_propagation(pairs: list[tuple[int, int]],
+                                  num_buckets: int = 32,
+                                  max_iters: int = 64) -> set[int]:
+    """Connected components by distributed min-label propagation.
+
+    The edge set becomes a Dataset; each round co-groups edges with the
+    current labels (one bucketed shuffle) and re-minimizes per node.
+    Labels only ever decrease, so the global label sum is a strictly
+    decreasing convergence witness — iterate until it is stable (O(
+    cluster diameter) rounds; near-dup clusters are star/clique shaped,
+    so 2-3 in practice). Returns every node whose final label isn't
+    itself (the docs to drop). Memory per task is one bucket's edges,
+    never the whole graph.
+    """
+    from .joins import cogroup
+
+    a = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+    b = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+    # both directions so min labels flow either way along an edge
+    edges = rd.from_arrow(pa.table({
+        "node": pa.array(np.concatenate([a, b])),
+        "nbr": pa.array(np.concatenate([b, a])),
+    }))
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = rd.from_arrow(pa.table({
+        "nbr": pa.array(nodes), "lbl": pa.array(nodes)}))
+
+    from ray.data.aggregate import Min, Sum
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # ldf: edges (node, nbr); rdf: labels (nbr, lbl). Emit each
+        # node's neighbor-label candidates plus the neighbor's own
+        # self-entry so isolated labels survive the round.
+        m = ldf.merge(rdf, on="nbr", how="inner")[["node", "lbl"]]
+        own = rdf.rename(columns={"nbr": "node"})[["node", "lbl"]]
+        out = pd.concat([m, own], ignore_index=True)
+        out = out.astype({"node": "int64", "lbl": "int64"})
+        return out.groupby("node", as_index=False).agg(lbl=("lbl", "min"))
+
+    prev_sum = None
+    for _ in range(max_iters):
+        new_labels = (
+            cogroup(
+                edges, labels, on=["nbr"], merge_fn=merge,
+                left_schema=pa.schema([("node", pa.int64()), ("nbr", pa.int64())]),
+                right_schema=pa.schema([("nbr", pa.int64()), ("lbl", pa.int64())]),
+                num_buckets=num_buckets,
+            )
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .map_batches(
+                lambda t: pa.table({"nbr": t["node"].cast(pa.int64()),
+                                    "lbl": t["lbl"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
+            break  # labels only decrease; equal sum == fixpoint
+        prev_sum = cur_sum
+
+    final = labels.to_pandas()
+    return set(final.loc[final["nbr"] != final["lbl"], "nbr"].astype(int))
+
+
 def _keep_after_pairs(docs: "rd.Dataset", pairs: list[tuple[int, int]]) -> "rd.Dataset":
-    """Drop every doc whose cluster root isn't itself."""
-    roots = _union_find(pairs)
-    removed = {d for d, r in roots.items() if r != d}
+    """Drop every doc whose cluster root isn't itself. Adaptive:
+    driver union-find for bounded pair lists, distributed min-label
+    propagation past _UNION_FIND_MAX_PAIRS (adversarial dup rates)."""
+    if len(pairs) <= _UNION_FIND_MAX_PAIRS:
+        roots = _union_find(pairs)
+        removed = {d for d, r in roots.items() if r != d}
+    else:
+        removed = _removed_by_label_propagation(pairs)
     removed_ref = ray.put(removed)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -134,22 +210,43 @@ def _all_pairs(sub: pd.DataFrame):
             yield ids[i], ids[j]
 
 
-def _verify_jaccard(sf_dir: str, pairs: list[tuple[int, int]],
-                    shingle_fn, threshold: float) -> list[tuple[int, int]]:
-    """Exact-verify candidate pairs in parallel Ray tasks; docs are
-    fetched per verification shard (only colliding docs are re-read)."""
-    if not pairs:
-        return []
-    need = sorted({d for p in pairs for d in p})
+@ray.remote
+def _verify_shard(doc_path: str, shard: list[tuple[int, int]],
+                  shingle_fn, threshold: float) -> list[tuple[int, int]]:
+    """Verify one shard of candidate pairs: parquet predicate pushdown
+    fetches only this shard's colliding docs; shingle sets are built
+    once per doc in-task."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"],
+    need = sorted({d for p in shard for d in p})
+    tbl = pq.read_table(doc_path, columns=["doc_id", "text"],
                         filters=[("doc_id", "in", need)])
     texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
     shingles = {d: shingle_fn(texts[d]) for d in need}
-    return [(a, b) for a, b in pairs
+    return [(a, b) for a, b in shard
             if jaccard(shingles[a], shingles[b]) >= threshold]
+
+
+def _verify_jaccard(sf_dir: str, pairs: list[tuple[int, int]],
+                    shingle_fn, threshold: float,
+                    shard_size: int = 4096) -> list[tuple[int, int]]:
+    """Exact-verify candidate pairs in PARALLEL Ray tasks (one per
+    pair shard). Pairs are sorted before sharding, so a shard's doc set
+    is id-clustered and its parquet predicate scan touches few row
+    groups; no task (and not the driver) ever holds every colliding
+    doc's text."""
+    if not pairs:
+        return []
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    refs = [
+        _verify_shard.remote(doc_path, pairs[i:i + shard_size],
+                             shingle_fn, threshold)
+        for i in range(0, len(pairs), shard_size)
+    ]
+    out: list[tuple[int, int]] = []
+    for chunk in ray.get(refs):
+        out.extend(chunk)
+    return sorted(out)
 
 
 # ---------------------------------------------------------------------------
@@ -197,16 +294,22 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.7, seed: int = 7) -> "rd.Datas
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
-    """SimHash(64) near-dup removal with 4x16-bit band blocking
-    (Hamming<=3 implies at least one identical band). Returns kept
-    doc_ids."""
+    """SimHash(64) near-dup removal with band blocking. The band count
+    is DERIVED from the verification threshold (bands = max_hamming+1)
+    so the pigeonhole recall guarantee — Hamming <= bands-1 implies at
+    least one identical band — always matches what verification
+    accepts; a fixed band count would silently lose recall for larger
+    thresholds. Returns kept doc_ids."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
     docs = _read_docs(sf_dir)
 
     def sketch(t: pa.Table) -> pa.Table:
         ids, keys, hashes = [], [], []
         for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             h = simhash64(text)
-            for i, band in enumerate(simhash_bands(h, bands=4)):
+            for i, band in enumerate(simhash_bands(h, bands=n_bands)):
                 ids.append(d)
                 keys.append(f"{i}:{band:x}")
                 hashes.append(h)

@@ -21,15 +21,28 @@ import ray.data as rd
 
 
 def _centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
-    """Deterministic coarse centroids: sample seeded row ids, one
-    k-means-style refinement pass over the sample (cheap, driver-side,
-    sample is O(centroids * 64) — not the corpus)."""
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    M = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    """Deterministic coarse centroids from a ROW-GROUP sample.
+
+    The driver never loads the corpus: parquet footer metadata gives
+    the row-group count, a seeded permutation picks row groups to read
+    until ~4x the sample target is collected, and the training sample
+    is drawn from those rows. Driver RAM is bounded by a few row
+    groups (O(centroids), not O(corpus)); one k-means-style
+    refinement pass runs over the sample only."""
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
     rng = np.random.default_rng(seed)
-    take = rng.choice(len(M), size=min(len(M), n_centroids * 32), replace=False)
+    sample_target = n_centroids * 32
+    chunks, got = [], 0
+    for rg in rng.permutation(pf.metadata.num_row_groups):
+        t = pf.read_row_group(int(rg), columns=["embedding"])
+        chunks.append(t)
+        got += t.num_rows
+        if got >= sample_target * 4:
+            break
+    M = np.array(pa.concat_tables(chunks)["embedding"].to_pylist(),
+                 dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    take = rng.choice(len(M), size=min(len(M), sample_target), replace=False)
     sample = M[np.sort(take)]
     C = sample[np.sort(rng.choice(len(sample), size=n_centroids, replace=False))].copy()
     for _ in range(3):  # a few Lloyd passes on the sample

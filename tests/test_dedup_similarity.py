@@ -89,6 +89,91 @@ class TestDedupDetectors:
         assert len(kept) == 5
 
 
+class TestClustering:
+    """Distributed min-label propagation must agree with union-find."""
+
+    CASES = [
+        # chain (worst case for propagation rounds), clique, isolated pair
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        [(5, 9), (1, 9), (1, 5)],
+        [(100, 2), (3, 100), (2, 3), (7, 8)],
+    ]
+
+    def test_label_propagation_matches_union_find(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import (
+            _removed_by_label_propagation,
+            _union_find,
+        )
+
+        for pairs in self.CASES:
+            roots = _union_find(pairs)
+            expected = {d for d, r in roots.items() if r != d}
+            got = _removed_by_label_propagation(pairs, num_buckets=4)
+            assert got == expected, pairs
+
+    def test_dedup_through_propagation_path(self, dup_dir, ray_session,
+                                            monkeypatch):
+        from mistralocr_pdf2md_translator_ray.stages import dedup as dd
+
+        monkeypatch.setattr(dd, "_UNION_FIND_MAX_PAIRS", 0)
+        kept = sorted(r["doc_id"] for r in dd.dedup_minhash(dup_dir).take_all())
+        assert kept == [0, 3, 4]  # identical to the union-find path
+
+
+class TestSimhashBandDerivation:
+    def test_larger_threshold_widens_blocking(self, tmp_path, ray_session):
+        """A pair at Hamming distance 5 must be caught when
+        max_hamming=5 (6 bands) — the old fixed 4-band blocking could
+        only guarantee distance <= 3."""
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.functions.dedup import (
+            hamming64,
+            simhash64,
+            simhash_bands,
+        )
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_simhash
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+        # find a variant at hamming distance in (3, 6] that shares NO
+        # 16-bit band (so 4-band blocking would provably miss it)
+        h0 = simhash64(base)
+        variant = None
+        words = base.split()
+        for i in range(len(words)):
+            for repl in ["psi", "omega", "digamma", "koppa", "sampi"]:
+                cand = " ".join(words[:i] + [repl] + words[i + 1:])
+                h1 = simhash64(cand)
+                d = hamming64(h0, h1)
+                if 3 < d <= 5 and not any(
+                    a == b for a, b in zip(simhash_bands(h0, 4),
+                                           simhash_bands(h1, 4))):
+                    variant = cand
+                    break
+            if variant:
+                break
+        if variant is None:
+            pytest.skip("no adversarial variant found in search space")
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([base, variant], pa.string()),
+        })
+        d = tmp_path / "simhash_docs"
+        d.mkdir()
+        pq2.write_table(docs, str(d / "documents.parquet"))
+        kept = sorted(r["doc_id"] for r in
+                      dedup_simhash(str(d), max_hamming=5).take_all())
+        assert kept == [0]  # caught at the wider threshold
+
+    def test_max_hamming_validation(self, dup_dir, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_simhash
+
+        with pytest.raises(ValueError):
+            dedup_simhash(dup_dir, max_hamming=64)
+
+
 class TestSimilarity:
     def test_ivf_full_probe_matches_brute_force(self, ray_session):
         from mistralocr_pdf2md_translator_ray.pipelines.library import knn_cosine
@@ -108,6 +193,30 @@ class TestSimilarity:
         brute = set(knn_cosine(sf).to_pandas()["vec_id"])
         ivf = set(knn_cosine_ivf(sf, n_centroids=8, nprobe=4).to_pandas()["vec_id"])
         assert len(brute & ivf) >= 7  # recall@10 >= 0.7 with half the probes
+
+
+class TestCentroidSampling:
+    def test_deterministic_over_multi_row_group_file(self, tmp_path, ray_session):
+        """Centroid training reads seeded row groups, not the corpus:
+        deterministic across calls, and valid on a many-row-group file."""
+        from mistralocr_pdf2md_translator_ray.stages.similarity import _centroids
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((2000, 8)).astype(np.float32)
+        emb = pa.table({
+            "vec_id": pa.array(range(2000), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        d = tmp_path / "emb"
+        d.mkdir()
+        pq.write_table(emb, str(d / "embeddings.parquet"), row_group_size=100)
+
+        c1 = _centroids(str(d), n_centroids=4, seed=5)
+        c2 = _centroids(str(d), n_centroids=4, seed=5)
+        np.testing.assert_array_equal(c1, c2)
+        assert c1.shape == (4, 8)
+        np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
 
 
 class TestMultimodal:
