@@ -54,10 +54,10 @@ def _extract_docs_query(sf_dir: str) -> Any:
     return extract_documents(rd.from_arrow(t), rd.from_arrow(p), salt_span=64)
 
 
-def _doc_stats_query(sf_dir: str) -> Any:
-    from mistralocr_pdf2md_translator_ray.stages.textstats import doc_stats
+def _text_quality_query(sf_dir: str) -> Any:
+    from mistralocr_pdf2md_translator_ray.stages.textstats import text_quality
 
-    return doc_stats(sf_dir)
+    return text_quality(sf_dir)
 
 
 def _knn_ivf_query(sf_dir: str) -> Any:
@@ -112,7 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: text analysis + dedup family
         "token_counts": lib.token_counts,
         "dedup_exact": lib.dedup_exact,
-        "doc_stats": _doc_stats_query,
+        "doc_stats": lib.doc_stats,
+        "text_quality": _text_quality_query,
         "dedup_minhash": dd.dedup_minhash,
         "dedup_ngram": dd.dedup_ngram,
         "dedup_simhash": dd.dedup_simhash,
@@ -152,8 +153,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_month": lib.ORDERS_BY_MONTH_SQL,
         "token_counts": lib.TOKEN_COUNTS_SQL,
         "dedup_exact": lib.DEDUP_EXACT_SQL,
+        "doc_stats": lib.DOC_STATS_SQL,
         "knn_cosine": lib.KNN_COSINE_SQL,
-        # extract_turns / extract_documents / doc_stats / dedup_minhash /
-        # dedup_simhash / neardup_embedding: non-SQL-expressible
-        # (stateful extraction kernels, hash sketches) -> rows-only check.
+        # extract_turns / extract_documents / text_quality /
+        # dedup_minhash / dedup_simhash / neardup_embedding:
+        # non-SQL-expressible (stateful extraction kernels, heuristic
+        # composites, hash sketches) -> rows-only check.
     }

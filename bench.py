@@ -135,7 +135,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
         extract_documents,
     )
     from mistralocr_pdf2md_translator_ray.stages import dedup as dd
-    from mistralocr_pdf2md_translator_ray.stages.textstats import doc_stats
+    from mistralocr_pdf2md_translator_ray.stages.textstats import text_quality
 
     # document assembly (adds the salted conv_id shuffle) — timed on an
     # 8-shard subset so this secondary metric doesn't dominate bench
@@ -159,7 +159,8 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("dedup_exact", lambda: lib.dedup_exact(SF_DIR))
     timed("dedup_minhash", lambda: dd.dedup_minhash(SF_DIR))
     timed("knn_cosine", lambda: lib.knn_cosine(SF_DIR))
-    timed("doc_stats", lambda: doc_stats(SF_DIR))
+    timed("doc_stats", lambda: lib.doc_stats(SF_DIR))
+    timed("text_quality", lambda: text_quality(SF_DIR))
     timed("supplier_nation", lambda: lib.supplier_nation(SF_DIR))
     timed("distinct_segments", lambda: lib.distinct_segments(SF_DIR))
     timed("events_json_k", lambda: lib.events_json_k(SF_DIR))

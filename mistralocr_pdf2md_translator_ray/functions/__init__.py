@@ -17,6 +17,10 @@ from .scalars import (
     pretty_json,
     splice_children,
     join_pages,
+    decode_data_url,
+    encode_data_url,
+    inline_children,
+    combined_preview,
     PAGE_SEPARATOR,
 )
 from .textstats import (
@@ -37,6 +41,10 @@ __all__ = [
     "pretty_json",
     "splice_children",
     "join_pages",
+    "decode_data_url",
+    "encode_data_url",
+    "inline_children",
+    "combined_preview",
     "PAGE_SEPARATOR",
     "token_count",
     "tokenize",

@@ -13,6 +13,8 @@ Pure functions reproducing the reference's scalar semantics:
 
 from __future__ import annotations
 
+import base64
+import binascii
 import json
 import re
 
@@ -46,13 +48,54 @@ def pretty_json(s: str) -> tuple[str, bool]:
         return json.dumps(err, indent=2, ensure_ascii=False), False
 
 
-def find_placeholders(text: str) -> list[str]:
-    """Ordered unique payload ids referenced as ``![id](id)`` in text."""
-    seen: list[str] = []
-    for m in PLACEHOLDER_RE.finditer(text or ""):
-        if m.group(1) not in seen:
-            seen.append(m.group(1))
-    return seen
+def decode_data_url(s) -> tuple[bytes, str, bool]:
+    """Data-URL -> raw payload bytes (mistralocr_app.py:107, :255-267).
+
+    Handles the reference's prefix variations: ``data:<mime>;base64,``
+    head stripped on the first comma; a bare base64 string (no comma)
+    decodes as-is. Returns ``(payload, mime, ok)`` — invalid base64 is
+    an error VALUE (the reference catches-and-skips; nothing raises).
+    """
+    if not isinstance(s, str):
+        return b"", "", False
+    mime = ""
+    if "," in s:
+        head, b64 = s.split(",", 1)
+        if head.startswith("data:"):
+            mime = head[5:].split(";")[0]
+    else:
+        b64 = s
+    try:
+        return base64.b64decode(b64, validate=True), mime, True
+    except (ValueError, binascii.Error):
+        return b"", mime, False
+
+
+def encode_data_url(payload: bytes, mime: str = "application/octet-stream") -> str:
+    """Inverse of ``decode_data_url`` (round-trip property-tested)."""
+    return f"data:{mime};base64,{base64.b64encode(payload).decode('ascii')}"
+
+
+def inline_children(md: str, children: dict[str, str]) -> str:
+    """M5 strict analog (``replace_images_in_markdown``,
+    mistralocr_app.py:76-82): REPLACE each ``![id](id)`` placeholder's
+    link target with the child's content (e.g. a data URL), keeping
+    unmatched placeholders untouched."""
+
+    def _sub(m: re.Match) -> str:
+        pid = m.group(1)
+        if pid not in children:
+            return m.group(0)
+        return f"![{pid}]({children[pid]})"
+
+    return PLACEHOLDER_RE.sub(_sub, md or "")
+
+
+def combined_preview(pages: list[str]) -> str:
+    """``get_combined_markdown`` analog (mistralocr_app.py:84-90): the
+    inline-content preview joins pages with a bare blank line — NOT the
+    ``\\n\\n---\\n\\n`` separator used for final document output."""
+    return "\n\n".join(pages)
 
 
 def splice_children(md: str, children: dict[str, str]) -> str:

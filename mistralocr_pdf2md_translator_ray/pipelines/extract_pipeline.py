@@ -37,7 +37,9 @@ from ..stages.extract import (
     TurnExtractor,
     build_child_rows,
     finalize_plain,
+    finalize_plain_dual,
     finalize_with_children,
+    finalize_with_children_dual,
     merge_children_into_parents,
 )
 from ..stages.joins import cogroup
@@ -48,19 +50,14 @@ def _broadcast_child_map(child_mat: "ray.data.Dataset"):
     turn ON THE CLUSTER (bucketed groupby — a driver-side pandas loop
     over every turn was serial-linear), then assemble the broadcast
     dict from the already-aggregated rows."""
-    import zlib
-
     import pyarrow as pa
     import ray
 
+    from ..functions.hashing import bucket_ids
     from ..stages.joins import coalesce_blocks
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pa.array(
-            [zlib.crc32(c.encode("utf-8")) % 64 for c in t["conv_id"].to_pylist()],
-            pa.int32(),
-        )
-        return t.append_column("b", b)
+        return t.append_column("b", bucket_ids(t["conv_id"], 64))
 
     def per_bucket(g):
         return build_child_rows(g)
@@ -243,6 +240,7 @@ def extract_turns(
     child_join: str = "auto",   # "auto" | "broadcast" | "cogroup"
     payloads_path: Optional[str] = None,  # enables the overlapped path
     conv_filter=None,  # (part_ids, n_partitions) resume restriction
+    emit_original: bool = False,  # dual-variant output (md_original column)
 ) -> "ray.data.Dataset":
     """Per-turn extraction; returns Dataset with columns
     (conv_id, turn_idx, role, tool, ts, md, n_tokens, status, error).
@@ -264,6 +262,8 @@ def extract_turns(
 
     with_ph_pool, plain_pool, child_pool = _pools()
     ctor = {"fn_constructor_kwargs": {"extra_extractors": get_registry()}}
+    fin_children = finalize_with_children_dual if emit_original else finalize_with_children
+    fin_plain = finalize_plain_dual if emit_original else finalize_plain
 
     if payloads_path is not None and child_join in ("auto", "broadcast"):
         # Overlapped broadcast path: child partial maps are computed by
@@ -285,7 +285,8 @@ def extract_turns(
                 refs = _child_partial_refs(files, conv_filter=conv_filter)
                 return _broadcast_pipeline(
                     transcripts, plain_pool,
-                    {"cmap_refs": refs, "extra_extractors": get_registry()})
+                    {"cmap_refs": refs, "extra_extractors": get_registry(),
+                     "emit_original": emit_original})
             payloads = rd.read_parquet(files)
             if conv_filter is not None:
                 payloads = _filter_conv_partitions(payloads, conv_filter)
@@ -302,7 +303,7 @@ def extract_turns(
     if payloads is None:
         return transcripts.map_batches(
             TurnExtractor, batch_format="pyarrow", **plain_pool, **ctor
-        ).map_batches(finalize_plain, batch_format="pyarrow")
+        ).map_batches(fin_plain, batch_format="pyarrow")
 
     if child_join in ("auto", "broadcast"):
         # The child phase runs to completion BEFORE the main pass (its
@@ -320,7 +321,8 @@ def extract_turns(
             cmap_ref = _broadcast_child_map(child_mat)
             return _broadcast_pipeline(
                 transcripts, plain_pool,
-                {"cmap_ref": cmap_ref, "extra_extractors": get_registry()})
+                {"cmap_ref": cmap_ref, "extra_extractors": get_registry(),
+                 "emit_original": emit_original})
         children = child_mat  # too big to broadcast; reuse for cogroup
     else:
         children = payloads.map_batches(
@@ -358,8 +360,8 @@ def extract_turns(
         right_schema=CHILD_SCHEMA,
         num_buckets=join_partitions * 4,
     )
-    spliced = joined.map_batches(finalize_with_children, batch_format="pyarrow")
-    plain_out = plain.map_batches(finalize_plain, batch_format="pyarrow")
+    spliced = joined.map_batches(fin_children, batch_format="pyarrow")
+    plain_out = plain.map_batches(fin_plain, batch_format="pyarrow")
     return spliced.union(plain_out)
 
 
@@ -368,10 +370,16 @@ def extract_documents(
     payloads: Optional["ray.data.Dataset"] = None,
     salt_span: int | None = 256,
     payloads_path: Optional[str] = None,
+    emit_original: bool = False,
 ) -> "ray.data.Dataset":
     """Whole-document output: one row per conversation
-    (conv_id, n_turns, doc_md), turn order restored inside groups."""
+    (conv_id, n_turns, doc_md), turn order restored inside groups.
+    With ``emit_original`` both variants assemble in one pass
+    (doc_md + doc_md_original — the reference's dual
+    original/translated outputs, mistralocr_app.py:714-717)."""
     return assemble_conversations(
-        extract_turns(transcripts, payloads, payloads_path=payloads_path),
+        extract_turns(transcripts, payloads, payloads_path=payloads_path,
+                      emit_original=emit_original),
         salt_span=salt_span,
+        include_original=emit_original,
     )

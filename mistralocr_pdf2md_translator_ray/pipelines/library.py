@@ -39,6 +39,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.hashing import bucket_ids_np
+
 
 def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
@@ -345,14 +347,11 @@ def top_orders_per_customer(sf_dir: str, k: int = 2,
     """Grouped top-k: each customer's k most expensive orders.
     Bucketed by customer hash; inside a bucket one vectorized
     sort + groupby.head(k)."""
-    import zlib
-
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["b"] = (df["o_custkey"].astype(str)
-                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        df["b"] = bucket_ids_np(df["o_custkey"].to_numpy(), num_buckets)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -517,16 +516,13 @@ def sessionize_events(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
     """Gap-based sessionization (30 min) per user — the streaming-shaped
     op as a bucketed groupby (crc32(user) % B buckets; inside a bucket
     everything is vectorized pandas, never one UDF call per user)."""
-    import zlib
-
     ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
 
     gap = pd.Timedelta(minutes=30)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["b"] = (df["user_id"].astype(str)
-                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -629,14 +625,11 @@ def rolling_avg_value(sf_dir: str, window: int = 5,
     over the last `window` events (ts order). Bucketed by user hash,
     vectorized pandas rolling inside buckets; exact-unit parity with
     the SQL window frame."""
-    import zlib
-
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["b"] = (df["user_id"].astype(str)
-                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -671,14 +664,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 def running_user_value(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
     """Cumulative sum per user in ts order (running total) — the
     classic ordered window aggregate, exact-unit parity."""
-    import zlib
-
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["b"] = (df["user_id"].astype(str)
-                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -712,15 +702,12 @@ def asof_purchase_click(sf_dir: str) -> "rd.Dataset":
     ``pd.merge_asof(by="user_id")`` handles every user at once (the
     partitioning assumption is user_id co-location, provided by the
     bucket groupby)."""
-    import zlib
-
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
     num_buckets = 32
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["event_type"].isin(("purchase", "click"))].copy()
-        df["b"] = (df["user_id"].astype(str)
-                   .map(lambda s: zlib.crc32(s.encode()) % num_buckets))
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -804,6 +791,47 @@ def token_counts(sf_dir: str) -> "rd.Dataset":
 
 TOKEN_COUNTS_SQL = r"""
 SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def doc_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-document size stats (doc_id, n_chars, n_tokens, n_lines) —
+    fully vectorized Arrow compute except the whitespace-token kernel,
+    which is shared with the SQL oracle's regexp semantics. (The
+    lang/quality/fingerprint analysis lives in
+    ``stages.textstats.text_quality`` — those kernels are heuristic
+    composites with no SQL equivalent, so they get the rows-only
+    check while this query is hash-verified.)"""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    from ..functions.textstats import token_count
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        ntok = pa.array([token_count(s) for s in t["text"].to_pylist()],
+                        pa.int64())
+        # lines = newline count + 1, except the empty string has 0
+        raw_lines = pc.add(pc.count_substring(t["text"], "\n"), 1)
+        n_lines = pc.if_else(pc.equal(n_chars, 0),
+                             pa.scalar(0, pa.int64()),
+                             pc.cast(raw_lines, pa.int64()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": ntok,
+            "n_lines": n_lines,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+DOC_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE len(string_split(text, chr(10))) END AS BIGINT) AS n_lines
 FROM documents
 """
 

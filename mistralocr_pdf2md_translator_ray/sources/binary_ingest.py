@@ -18,8 +18,34 @@ import os
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.scalars import sanitize_id
+from ..functions.scalars import decode_data_url, sanitize_id
 from .transcripts import TRANSCRIPT_SCHEMA
+
+
+def decode_data_url_column(ds: "rd.Dataset", url_col: str = "data_url") -> "rd.Dataset":
+    """Data-URL payload ingest — the reference's actual wire format
+    (``img.image_base64`` data URLs, ``mistralocr_app.py:107``,
+    ``:255-267``): map a string data-URL column into ``payload:binary``
+    + ``mime`` + ``decode_status`` columns. Invalid base64 becomes an
+    ``error`` status row with empty payload (the reference
+    catches-and-skips; nothing raises). Stateless batch transform —
+    embarrassingly parallel, no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        payloads, mimes, status = [], [], []
+        for u in t[url_col].to_pylist():
+            b, m, ok = decode_data_url(u)
+            payloads.append(b)
+            mimes.append(m)
+            status.append("ok" if ok else "error")
+        return (
+            t.drop_columns([url_col])
+            .append_column("payload", pa.array(payloads, pa.binary()))
+            .append_column("mime", pa.array(mimes, pa.string()))
+            .append_column("decode_status", pa.array(status, pa.string()))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def read_conversation_files(path: str) -> "rd.Dataset":

@@ -23,45 +23,52 @@ Two scale levers:
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.hashing import bucket_ids, bucket_ids_np
 from ..functions.scalars import PAGE_SEPARATOR
 
 
 def _bucket_col(keys: pa.ChunkedArray, B: int) -> pa.Array:
-    return pa.array(
-        [zlib.crc32(k.encode("utf-8")) % B for k in keys.to_pylist()], pa.int32()
-    )
+    return bucket_ids(keys, B)
 
 
-def _assemble_bucket(g: pd.DataFrame) -> pd.DataFrame:
+# (turn column, assembled document column) pairs; the dual variant
+# carries the pre-normalization text alongside (mistralocr_app.py:714-717)
+_SINGLE_COLS = [("md", "doc_md")]
+_DUAL_COLS = [("md", "doc_md"), ("md_original", "doc_md_original")]
+
+
+def _assemble_bucket(g: pd.DataFrame, value_cols=_SINGLE_COLS) -> pd.DataFrame:
     g = g.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort")
+    aggs = {out: (src, PAGE_SEPARATOR.join) for src, out in value_cols}
     out = g.groupby("conv_id", sort=False).agg(
-        n_turns=("md", "size"), doc_md=("md", PAGE_SEPARATOR.join)
+        n_turns=(value_cols[0][0], "size"), **aggs
     ).reset_index()
     out["n_turns"] = out["n_turns"].astype("int64")
-    return out[["conv_id", "n_turns", "doc_md"]]
+    return out[["conv_id", "n_turns"] + [o for _, o in value_cols]]
 
 
-def _partial_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def _partial_bucket(g: pd.DataFrame, value_cols=_SINGLE_COLS) -> pd.DataFrame:
     g = g.sort_values(["conv_id", "salt", "turn_idx", "ts"], kind="mergesort")
+    aggs = {out: (src, PAGE_SEPARATOR.join) for src, out in value_cols}
     out = g.groupby(["conv_id", "salt"], sort=False).agg(
-        n_turns=("md", "size"), doc_md=("md", PAGE_SEPARATOR.join)
+        n_turns=(value_cols[0][0], "size"), **aggs
     ).reset_index()
     out["n_turns"] = out["n_turns"].astype("int64")
     return out
 
 
-def _final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def _final_bucket(g: pd.DataFrame, value_cols=_SINGLE_COLS) -> pd.DataFrame:
     g = g.sort_values(["conv_id", "salt"], kind="mergesort")
+    doc_cols = [o for _, o in value_cols]
+    aggs = {o: (o, PAGE_SEPARATOR.join) for o in doc_cols}
     out = g.groupby("conv_id", sort=False).agg(
-        n_turns=("n_turns", "sum"), doc_md=("doc_md", PAGE_SEPARATOR.join)
+        n_turns=("n_turns", "sum"), **aggs
     ).reset_index()
     out["n_turns"] = out["n_turns"].astype("int64")
-    return out[["conv_id", "n_turns", "doc_md"]]
+    return out[["conv_id", "n_turns"] + doc_cols]
 
 
 def assemble_conversations_sorted(per_turn_ds):
@@ -214,10 +221,18 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
 
 
 def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
-                           num_buckets: int = 64):
+                           num_buckets: int = 64,
+                           include_original: bool = False):
     """per-turn Dataset (conv_id, turn_idx, ts, md, ...) -> one row per
-    conversation (conv_id, n_turns, doc_md)."""
-    ds = per_turn_ds.select_columns(["conv_id", "turn_idx", "ts", "md"])
+    conversation (conv_id, n_turns, doc_md). With ``include_original``
+    the input's ``md_original`` column assembles to
+    ``doc_md_original`` in the same pass (one shuffle for both
+    variants — never two assembly runs)."""
+    import functools
+
+    value_cols = _DUAL_COLS if include_original else _SINGLE_COLS
+    ds = per_turn_ds.select_columns(
+        ["conv_id", "turn_idx", "ts"] + [src for src, _ in value_cols])
 
     if salt_span is None:
         def add_bucket(t: pa.Table) -> pa.Table:
@@ -229,7 +244,8 @@ def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
             ds.map_batches(add_bucket, batch_format="pyarrow")
             .repartition(coalesce_blocks())
             .groupby("b")
-            .map_groups(_assemble_bucket, batch_format="pandas")
+            .map_groups(functools.partial(_assemble_bucket, value_cols=value_cols),
+                        batch_format="pandas")
         )
 
     span = int(salt_span)
@@ -238,12 +254,9 @@ def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
         import pyarrow.compute as pc
 
         salt = pc.divide(pc.cast(t["turn_idx"], pa.int64()), span)
-        convs = t["conv_id"].to_pylist()
-        b = pa.array(
-            [zlib.crc32(f"{c}\x1f{s}".encode("utf-8")) % num_buckets
-             for c, s in zip(convs, salt.to_pylist())],
-            pa.int32(),
-        )
+        key = pc.binary_join_element_wise(
+            t["conv_id"], pc.cast(salt, pa.string()), "\x1f")
+        b = bucket_ids(key, num_buckets)
         return t.append_column("salt", salt).append_column("b", b)
 
     from .joins import coalesce_blocks
@@ -252,17 +265,18 @@ def assemble_conversations(per_turn_ds, salt_span: int | None = 256,
         ds.map_batches(add_salt_bucket, batch_format="pyarrow")
         .repartition(coalesce_blocks())
         .groupby("b")
-        .map_groups(_partial_bucket, batch_format="pandas")
+        .map_groups(functools.partial(_partial_bucket, value_cols=value_cols),
+                    batch_format="pandas")
     )
 
     def add_conv_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["b"] = [zlib.crc32(c.encode("utf-8")) % num_buckets
-                   for c in df["conv_id"]]
+        df["b"] = bucket_ids_np(df["conv_id"].to_numpy(), num_buckets)
         return df
 
     return (
         partials.map_batches(add_conv_bucket, batch_format="pandas")
         .groupby("b")
-        .map_groups(_final_bucket, batch_format="pandas")
+        .map_groups(functools.partial(_final_bucket, value_cols=value_cols),
+                    batch_format="pandas")
     )

@@ -167,15 +167,10 @@ def _pairs_bucketed(bucket_rows: "rd.Dataset", group_pair_fn,
     with >= 2 members are found vectorized; ``group_pair_fn(sub)`` emits
     pairs for one colliding band's rows.
     """
-    import zlib
+    from ..functions.hashing import bucket_ids
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pa.array(
-            [zlib.crc32(k.encode("utf-8")) % num_buckets
-             for k in t["band_key"].to_pylist()],
-            pa.int32(),
-        )
-        return t.append_column("b", b)
+        return t.append_column("b", bucket_ids(t["band_key"], num_buckets))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["band_key", "doc_id"], kind="mergesort")

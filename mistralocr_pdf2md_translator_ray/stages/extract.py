@@ -84,15 +84,18 @@ SPANS_TYPE = pa.list_(
 )
 
 
-def _finalize(batch: pa.Table, children_col: bool) -> pa.Table:
+def _finalize(batch: pa.Table, children_col: bool,
+              emit_original: bool = False) -> pa.Table:
     raws = batch["raw_md"].to_pylist()
     ch = batch["children_json"].to_pylist() if children_col else [None] * len(raws)
-    mds, spans, ntoks = [], [], []
+    mds, origs, spans, ntoks = [], [], [], []
     for raw, cj in zip(raws, ch):
         if isinstance(cj, str) and cj:  # guard NaN/None from the left join
             raw = splice_children(raw, json.loads(cj))
         md = normalize_markdown(raw)
         mds.append(md)
+        if emit_original:
+            origs.append(raw)
         spans.append(md_spans(md))
         ntoks.append(token_count(md))
     out = (
@@ -100,6 +103,13 @@ def _finalize(batch: pa.Table, children_col: bool) -> pa.Table:
         .append_column("spans", pa.array(spans, SPANS_TYPE))
         .append_column("n_tokens", pa.array(ntoks, pa.int64()))
     )
+    if emit_original:
+        # dual-variant output (mistralocr_app.py:714-717 writes both
+        # final_markdown_original and final_markdown_translated): the
+        # pre-normalization spliced text rides alongside, invariant
+        # normalize_markdown(md_original) == md
+        out = out.append_column("md_original", pa.array(origs, pa.string()))
+        return out.select(_OUT_COLS + ["md_original"])
     return out.select(_OUT_COLS)
 
 
@@ -107,6 +117,14 @@ def finalize_with_children(batch: pa.Table) -> pa.Table:
     """Splice child results below their placeholders (J1+M6), then
     normalize (M12 analog)."""
     return _finalize(batch, children_col=True)
+
+
+def finalize_with_children_dual(batch: pa.Table) -> pa.Table:
+    return _finalize(batch, children_col=True, emit_original=True)
+
+
+def finalize_plain_dual(batch: pa.Table) -> pa.Table:
+    return _finalize(batch, children_col=False, emit_original=True)
 
 
 def build_child_rows(child_df):
@@ -142,7 +160,8 @@ class ExtractFinalizeBroadcast:
     child partials while this pipeline's read stages already stream;
     each actor blocks here only until the partials land)."""
 
-    def __init__(self, cmap_ref=None, cmap_refs=None, extra_extractors=None) -> None:
+    def __init__(self, cmap_ref=None, cmap_refs=None, extra_extractors=None,
+                 emit_original: bool = False) -> None:
         import ray
 
         if cmap_refs is not None:
@@ -154,13 +173,14 @@ class ExtractFinalizeBroadcast:
         else:
             self._cmap = ray.get(cmap_ref) if cmap_ref is not None else {}
         self._extra = extra_extractors or {}
+        self._emit_original = emit_original
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         tools = batch["tool"].to_pylist()
         convs = batch["conv_id"].to_pylist()
         turns = batch["turn_idx"].to_pylist()
-        mds, spans, ntoks, statuses, errors = [], [], [], [], []
+        mds, origs, spans, ntoks, statuses, errors = [], [], [], [], [], []
         for text, tool, conv, turn in zip(texts, tools, convs, turns):
             raw, status, err = extract_turn(text, tool, self._extra)
             cj = self._cmap.get((conv, turn))
@@ -168,18 +188,23 @@ class ExtractFinalizeBroadcast:
                 raw = splice_children(raw, json.loads(cj) if isinstance(cj, str) else cj)
             md = normalize_markdown(raw)
             mds.append(md)
+            if self._emit_original:
+                origs.append(raw)
             spans.append(md_spans(md))
             ntoks.append(token_count(md))
             statuses.append(status)
             errors.append(err)
-        return (
+        out = (
             batch.append_column("md", pa.array(mds, pa.string()))
             .append_column("spans", pa.array(spans, SPANS_TYPE))
             .append_column("n_tokens", pa.array(ntoks, pa.int64()))
             .append_column("status", pa.array(statuses, pa.string()))
             .append_column("error", pa.array(errors, pa.string()))
-            .select(_OUT_COLS)
         )
+        if self._emit_original:
+            out = out.append_column("md_original", pa.array(origs, pa.string()))
+            return out.select(_OUT_COLS + ["md_original"])
+        return out.select(_OUT_COLS)
 
 
 def finalize_plain(batch: pa.Table) -> pa.Table:

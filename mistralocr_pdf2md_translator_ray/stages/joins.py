@@ -18,19 +18,17 @@ split evenly in expectation).
 
 from __future__ import annotations
 
-import zlib
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.hashing import bucket_ids
+
 SIDE_COL = "_side"
 BUCKET_COL = "_bucket"
-
-
-def _bucket_of(keys: list, B: int) -> list[int]:
-    return [zlib.crc32(str(k).encode("utf-8")) % B for k in keys]
 
 
 def _tag(ds: "rd.Dataset", schema: pa.Schema, on: list[str], side: int,
@@ -39,6 +37,8 @@ def _tag(ds: "rd.Dataset", schema: pa.Schema, on: list[str], side: int,
     add side + bucket columns."""
 
     def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = t.num_rows
         cols = {}
         for field in schema:
@@ -50,13 +50,15 @@ def _tag(ds: "rd.Dataset", schema: pa.Schema, on: list[str], side: int,
         # side whose key arrived as float64 (pandas null-coercion from
         # an earlier cogroup) would otherwise hash "123.0" while the
         # other side hashes "123" — silently dropping every match.
+        # Hashing is fully vectorized (functions/hashing.py): composite
+        # keys join to one string column, single keys hash zero-copy.
         if len(on) > 1:
-            key_parts = [cols[c].to_pylist() for c in on]
-            keys = ["\x1f".join(str(v) for v in row) for row in zip(*key_parts)]
+            key_col = pc.binary_join_element_wise(
+                *[pc.cast(cols[c], pa.string()) for c in on], "\x1f")
         else:
-            keys = cols[on[0]].to_pylist()
-        cols[SIDE_COL] = pa.array([side] * n, pa.int8())
-        cols[BUCKET_COL] = pa.array(_bucket_of(keys, B), pa.int32())
+            key_col = cols[on[0]]
+        cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+        cols[BUCKET_COL] = bucket_ids(key_col, B)
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -37,24 +37,38 @@ def rewrite_links(md: str, conv_id: str, asset_root: str = "assets") -> str:
 
 
 def export_markdown(docs: "rd.Dataset", out_dir: str,
-                    rewrite_asset_links: bool = True) -> int:
+                    rewrite_asset_links: bool = True,
+                    dual: bool = False) -> int:
     """Write one UTF-8 ``.md`` file per conversation row
-    (columns: conv_id, doc_md). Returns the number of files written."""
+    (columns: conv_id, doc_md). With ``dual`` the input's
+    ``doc_md_original`` column also lands as ``<conv>_original.md``
+    next to the primary file — the reference's paired
+    ``{stem}_original.md`` / ``{stem}_translated.md`` outputs
+    (mistralocr_app.py:714-747). Returns the number of primary files
+    written."""
     md_dir = os.path.join(out_dir, "md")
     os.makedirs(md_dir, exist_ok=True)
+
+    def _write(path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)  # atomic, idempotent on rerun
 
     def write_batch(t: pa.Table) -> pa.Table:
         convs = t["conv_id"].to_pylist()
         mds = t["doc_md"].to_pylist()
+        origs = t["doc_md_original"].to_pylist() if dual else [None] * len(convs)
         paths = []
-        for conv, md in zip(convs, mds):
+        for conv, md, orig in zip(convs, mds, origs):
             if rewrite_asset_links:
                 md = rewrite_links(md, conv)
             path = os.path.join(md_dir, f"{conv}.md")
-            tmp = path + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write(md)
-            os.replace(tmp, path)  # atomic, idempotent on rerun
+            _write(path, md)
+            if orig is not None:
+                if rewrite_asset_links:
+                    orig = rewrite_links(orig, conv)
+                _write(os.path.join(md_dir, f"{conv}_original.md"), orig)
             paths.append(path)
         return pa.table({"conv_id": t["conv_id"],
                          "path": pa.array(paths, pa.string())})

@@ -39,8 +39,13 @@ class TextStatsActor:
         })
 
 
-def doc_stats(sf_dir: str) -> "rd.Dataset":
-    """documents -> (doc_id, lang_pred, quality, n_tokens, fingerprint)."""
+def text_quality(sf_dir: str) -> "rd.Dataset":
+    """documents -> (doc_id, lang_pred, quality, n_tokens, fingerprint).
+
+    Heuristic composites (stopword lang-ID, quality score, blake2b
+    fingerprint) with no SQL equivalent — rows-only driver check; the
+    kernels are unit-tested. The SQL-verifiable size stats live in
+    ``pipelines.library.doc_stats``."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )

@@ -4,6 +4,37 @@ Dataset -> extraction pipeline."""
 import json
 
 
+def test_decode_data_url_column(ray_session):
+    """Reference-shaped wire format: data-URL strings decode into
+    payload:binary + mime + decode_status on the cluster."""
+    import base64
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.sources import decode_data_url_column
+
+    blobs = [b"\x89PNG...", b"RIFFxxxx", b"hello world"]
+    urls = [
+        "data:image/png;base64," + base64.b64encode(blobs[0]).decode(),
+        "data:audio/wav;base64," + base64.b64encode(blobs[1]).decode(),
+        base64.b64encode(blobs[2]).decode(),  # bare base64, no prefix
+    ] + ["data:image/png;base64,%%bad%%"]
+    t = pa.table({
+        "payload_id": pa.array([f"p{i}" for i in range(4)], pa.string()),
+        "data_url": pa.array(urls, pa.string()),
+    })
+    out = (
+        decode_data_url_column(rd.from_arrow(t))
+        .to_pandas().sort_values("payload_id").reset_index(drop=True)
+    )
+    assert "data_url" not in out.columns
+    assert [bytes(b) for b in out["payload"][:3]] == blobs
+    assert out["mime"].tolist() == ["image/png", "audio/wav", "", "image/png"]
+    assert out["decode_status"].tolist() == ["ok", "ok", "ok", "error"]
+    assert bytes(out["payload"][3]) == b""  # error-as-value
+
+
 def test_read_conversation_files(tmp_path, ray_session):
     from mistralocr_pdf2md_translator_ray.sources.binary_ingest import (
         read_conversation_files,

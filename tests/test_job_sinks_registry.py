@@ -104,6 +104,20 @@ class TestSinks:
         path = tmp_path / "assets" / one["conv_id"] / f"{one['payload_id']}.bin"
         assert path.read_bytes() == one["payload"]
 
+    def test_export_markdown_dual_variants(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.sinks import export_markdown
+
+        docs = rd.from_items([
+            {"conv_id": "conv-a", "doc_md": "# Normalized",
+             "doc_md_original": "Original\n=========="},
+        ])
+        n = export_markdown(docs, str(tmp_path), dual=True)
+        assert n == 1
+        assert (tmp_path / "md" / "conv-a.md").read_text(
+            encoding="utf-8") == "# Normalized"
+        assert (tmp_path / "md" / "conv-a_original.md").read_text(
+            encoding="utf-8") == "Original\n=========="
+
 
 class TestRegistry:
     def test_custom_extractor_routes_by_tool(self, ray_session):

@@ -194,6 +194,64 @@ class TestScalars:
         assert join_pages(["a", "b"]) == "a\n\n---\n\nb"
 
 
+class TestDataUrl:
+    def test_decode_with_mime_prefix(self):
+        from mistralocr_pdf2md_translator_ray.functions import decode_data_url
+
+        b, mime, ok = decode_data_url("data:image/png;base64,aGVsbG8=")
+        assert (b, mime, ok) == (b"hello", "image/png", True)
+
+    def test_decode_bare_base64_no_comma(self):
+        from mistralocr_pdf2md_translator_ray.functions import decode_data_url
+
+        b, mime, ok = decode_data_url("aGVsbG8=")
+        assert (b, ok) == (b"hello", True)
+
+    def test_invalid_is_error_value_not_exception(self):
+        from mistralocr_pdf2md_translator_ray.functions import decode_data_url
+
+        b, _mime, ok = decode_data_url("data:image/png;base64,!!notb64!!")
+        assert (b, ok) == (b"", False)
+        b, _mime, ok = decode_data_url(None)
+        assert (b, ok) == (b"", False)
+
+    def test_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mistralocr_pdf2md_translator_ray.functions import (
+            decode_data_url,
+            encode_data_url,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=512),
+               st.sampled_from(["image/png", "image/jpeg", "audio/wav", ""]))
+        def prop(payload, mime):
+            b, m, ok = decode_data_url(encode_data_url(payload, mime))
+            assert ok and b == payload and m == mime
+
+        prop()
+
+
+class TestInlinePreview:
+    def test_inline_replaces_link_target(self):
+        from mistralocr_pdf2md_translator_ray.functions import inline_children
+
+        md = "x\n\n![img-1](img-1)\n\ny ![img-2](img-2)"
+        got = inline_children(md, {"img-1": "data:image/png;base64,AA=="})
+        assert "![img-1](data:image/png;base64,AA==)" in got
+        assert "![img-1](img-1)" not in got
+        assert "![img-2](img-2)" in got  # unmatched untouched
+
+    def test_combined_preview_plain_join(self):
+        from mistralocr_pdf2md_translator_ray.functions import combined_preview
+
+        # the preview joins with a bare blank line, NOT the final-doc
+        # "---" separator (mistralocr_app.py:90 vs :716)
+        assert combined_preview(["a", "b"]) == "a\n\nb"
+
+
 class TestTextStats:
     def test_token_count(self):
         assert token_count("a b  c\n d") == 4

@@ -226,6 +226,80 @@ class TestOverlappedBound:
                                       check_dtype=False)
 
 
+class TestDualVariantOutput:
+    """emit_original carries the pre-normalization spliced text
+    alongside md (the reference's final_markdown_original /
+    final_markdown_translated pair)."""
+
+    def test_turn_level_invariant(self, tiny_fixture):
+        from mistralocr_pdf2md_translator_ray.functions import normalize_markdown
+
+        t, p = tiny_fixture
+        got = (
+            extract_turns(rd.from_arrow(t), rd.from_arrow(p),
+                          emit_original=True)
+            .to_pandas().sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert "md_original" in got.columns
+        # the normalized variant must derive from the original variant
+        for md, orig in zip(got["md"], got["md_original"]):
+            assert normalize_markdown(orig) == md
+        # splices happen BEFORE normalization, so they appear in both
+        spliced = got[got["md"].str.contains("> 📄 Extracted:", regex=False)]
+        assert len(spliced) >= 1
+        assert spliced["md_original"].str.contains(
+            "> 📄 Extracted:", regex=False).all()
+
+    def test_document_level_dual_assembly(self, tiny_fixture):
+        from mistralocr_pdf2md_translator_ray.functions.scalars import PAGE_SEPARATOR
+        from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+            extract_documents,
+        )
+
+        t, p = tiny_fixture
+        turns = (
+            extract_turns(rd.from_arrow(t), rd.from_arrow(p),
+                          emit_original=True)
+            .to_pandas().sort_values(["conv_id", "turn_idx"])
+        )
+        docs = (
+            extract_documents(rd.from_arrow(t), rd.from_arrow(p),
+                              salt_span=16, emit_original=True)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        assert {"doc_md", "doc_md_original"} <= set(docs.columns)
+        exp = turns.groupby("conv_id").agg(
+            doc_md=("md", PAGE_SEPARATOR.join),
+            doc_md_original=("md_original", PAGE_SEPARATOR.join),
+        ).reset_index()
+        pd.testing.assert_frame_equal(
+            docs[["conv_id", "doc_md", "doc_md_original"]], exp,
+            check_dtype=False)
+
+    def test_overlapped_path_dual(self, tiny_fixture, tmp_path):
+        import pyarrow.parquet as pq
+
+        from mistralocr_pdf2md_translator_ray.functions import normalize_markdown
+
+        t, p = tiny_fixture
+        p_path = str(tmp_path / "payloads.parquet")
+        pq.write_table(p, p_path)
+        got = (
+            extract_turns(rd.from_arrow(t), payloads_path=p_path,
+                          emit_original=True)
+            .to_pandas().sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        base = (
+            extract_turns(rd.from_arrow(t), rd.from_arrow(p),
+                          emit_original=True)
+            .to_pandas().sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert (got["md_original"].to_numpy() == base["md_original"].to_numpy()).all()
+
+
 class TestAssembly:
     """Assembly is tested from the session-scoped per-turn result (one
     extraction run per session; assembly itself is what's under test).
