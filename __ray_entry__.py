@@ -54,6 +54,20 @@ def _extract_docs_query(sf_dir: str) -> Any:
     return extract_documents(rd.from_arrow(t), rd.from_arrow(p), salt_span=64)
 
 
+def _extract_turns_dual_query(sf_dir: str) -> Any:
+    """Dual-variant flagship: md + md_original columns (the reference's
+    paired original/translated outputs). Non-SQL; the
+    normalize(md_original) == md invariant is pytest-verified."""
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import extract_turns
+    from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+
+    t, p = generate_transcripts(n_convs=50, n_turns=2000, seed=42)
+    return extract_turns(rd.from_arrow(t), rd.from_arrow(p), join_partitions=8,
+                         emit_original=True)
+
+
 def _text_quality_query(sf_dir: str) -> Any:
     from mistralocr_pdf2md_translator_ray.stages.textstats import text_quality
 
@@ -83,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction (non-SQL; golden-tested in pytest)
         "extract_turns": _extract_turns_query,
+        "extract_turns_dual": _extract_turns_dual_query,
         "extract_documents": _extract_docs_query,
         # grouped aggregation / filter / project
         "q1_pricing_summary": lib.q1_pricing_summary,

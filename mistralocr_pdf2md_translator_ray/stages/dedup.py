@@ -147,11 +147,15 @@ def _keep_after_pairs(docs: "rd.Dataset", pairs: list[tuple[int, int]]) -> "rd.D
         removed = {d for d, r in roots.items() if r != d}
     else:
         removed = _removed_by_label_propagation(pairs)
-    removed_ref = ray.put(removed)
+    # broadcast a sorted int64 array (np.isin against a Python set
+    # silently degrades to an object-scalar comparison)
+    removed_arr = np.fromiter(sorted(removed), dtype=np.int64,
+                              count=len(removed))
+    removed_ref = ray.put(removed_arr)
 
     def keep(t: pa.Table) -> pa.Table:
         rm = ray.get(removed_ref)
-        mask = pa.array([d not in rm for d in t["doc_id"].to_pylist()], pa.bool_())
+        mask = pa.array(~np.isin(t["doc_id"].to_numpy(), rm))
         return t.select(["doc_id"]).filter(mask)
 
     return docs.map_batches(keep, batch_format="pyarrow")
@@ -347,8 +351,10 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95, n_planes: int = 12,
     planes_ref = ray.put(planes)
 
     def bucketize(t: pa.Table) -> pa.Table:
+        from ..functions.vectors import list_column_to_matrix
+
         P = ray.get(planes_ref)
-        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        M = list_column_to_matrix(t["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         bits = (M @ P) > 0
         keys = [hex(int("".join("1" if b else "0" for b in row), 2))

@@ -19,6 +19,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..functions.vectors import list_column_to_matrix
+
 
 def _centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
     """Deterministic coarse centroids from a ROW-GROUP sample.
@@ -39,8 +41,7 @@ def _centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
         got += t.num_rows
         if got >= sample_target * 4:
             break
-    M = np.array(pa.concat_tables(chunks)["embedding"].to_pylist(),
-                 dtype=np.float64)
+    M = list_column_to_matrix(pa.concat_tables(chunks)["embedding"])
     M = M / np.linalg.norm(M, axis=1, keepdims=True)
     take = rng.choice(len(M), size=min(len(M), sample_target), replace=False)
     sample = M[np.sort(take)]
@@ -71,7 +72,7 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
                        filters=[("vec_id", "==", 0)])
     qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
     qv = qv / np.linalg.norm(qv)
-    probed = set(np.argsort(-(C @ qv))[:nprobe].tolist())
+    probed = np.sort(np.argsort(-(C @ qv))[:nprobe])
     ref = ray.put((C, qv, probed))
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -80,10 +81,10 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
     def score(t: pa.Table) -> pa.Table:
         Cc, v, probe = ray.get(ref)
         ids = t["vec_id"].to_numpy()
-        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        M = list_column_to_matrix(t["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         assign = (M @ Cc.T).argmax(axis=1)
-        mask = np.array([a in probe for a in assign]) & (ids != 0)
+        mask = np.isin(assign, probe) & (ids != 0)
         ids, M = ids[mask], M[mask]
         sims = M @ v
         if len(ids) > k:
