@@ -80,6 +80,31 @@ def _knn_ivf_query(sf_dir: str) -> Any:
     return knn_cosine_ivf(sf_dir)
 
 
+def _knn_ivf_indexed_query(sf_dir: str) -> Any:
+    """Persisted-IVF path: build (or reuse) the partitioned index under
+    /tmp, then answer from only the probed partitions."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mistralocr_pdf2md_translator_ray.stages.similarity import (
+        build_ivf_index,
+        knn_cosine_ivf_indexed,
+    )
+
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"graft_ivf_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(os.path.join(idx, "centroids.npy")):
+        build_ivf_index(sf_dir, idx, n_centroids=8, seed=5)
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", 0)])
+    qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    return knn_cosine_ivf_indexed(idx, qv, nprobe=3, exclude_vec_id=0)
+
+
 def _payload_features_query(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -120,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_value": lib.running_user_value,
         "asof_purchase_click": lib.asof_purchase_click,
         "approx_distinct_users": lib.approx_distinct_users,
+        "median_value_by_type": lib.median_value_by_type,
+        "top_users_by_events": lib.top_users_by_events,
+        "customer_count_by_region": lib.customer_count_by_region,
         # more grouped aggregates (calendar window, dimension stats)
         "lang_counts": lib.lang_counts,
         "part_brand_stats": lib.part_brand_stats,
@@ -136,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (brute-force baseline + IVF scale path)
         "knn_cosine": lib.knn_cosine,
         "knn_cosine_ivf": _knn_ivf_query,
+        "knn_cosine_ivf_indexed": _knn_ivf_indexed_query,
         # multimodal plumbing (decode stubbed; see stages/multimodal.py)
         "payload_features": _payload_features_query,
     }
@@ -163,6 +192,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": lib.ASOF_SQL,
         # approx_distinct_users: HLL sketch, approximate by design ->
         # rows-only check (error bound asserted in pytest)
+        "median_value_by_type": lib.MEDIAN_VALUE_BY_TYPE_SQL,
+        "top_users_by_events": lib.TOP_USERS_BY_EVENTS_SQL,
+        "customer_count_by_region": lib.CUSTOMER_COUNT_BY_REGION_SQL,
         "lang_counts": lib.LANG_COUNTS_SQL,
         "part_brand_stats": lib.PART_BRAND_STATS_SQL,
         "orders_by_month": lib.ORDERS_BY_MONTH_SQL,

@@ -749,6 +749,131 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def median_value_by_type(sf_dir: str) -> "rd.Dataset":
+    """Exact p50 of `value` per event_type (grouped quantile).
+
+    Shape: partial per-batch unit-value counts would not give an exact
+    median, so the values shuffle once, bucketed by event_type (LOW
+    cardinality — five types; the partitioning assumption is that one
+    type's values fit a task, the same assumption every per-bucket op
+    here makes). Inside a bucket one vectorized numpy sort per type.
+    Scale fallback for high-cardinality or oversized groups: iterative
+    distributed histogram narrowing over the exact integer units
+    (few-round binary search on counts), noted here for the 100x path.
+    Parity: discrete quantile (lower-middle element), identical
+    element selection in the SQL via quantile_disc.
+    """
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["event_type"].to_numpy(), 8)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, sub in g.groupby("event_type", sort=False):
+            v = np.sort(sub["value"].to_numpy())
+            out.append((et, float(v[(len(v) - 1) // 2]), len(v)))
+        r = pd.DataFrame(out, columns=["event_type", "median_value", "n_events"])
+        r["n_events"] = r["n_events"].astype("int64")
+        return r
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+MEDIAN_VALUE_BY_TYPE_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS median_value,
+       CAST(count(*) AS BIGINT)   AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def top_users_by_events(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """Heavy hitters: the k users with the most events. Partial counts
+    per batch -> small groupby Sum -> tiny global sort+limit (the
+    shuffle moves one row per user per batch, the sort sees one row
+    per user)."""
+    ds = _pq(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(n=("user_id", "size"))
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "n_events": df["n"].astype("int64")})
+
+    return (
+        final.map_batches(finish, batch_format="pandas")
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_USERS_BY_EVENTS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 20
+"""
+
+
+def customer_count_by_region(sf_dir: str) -> "rd.Dataset":
+    """Customers per region: two-level dimension rollup
+    (customer -> nation -> region). Both dimension maps are fixed-size
+    (25 + 5 rows) and broadcast once; the fact table pre-aggregates to
+    per-nationkey partial counts inside map_batches, so the final
+    groupby touches ~25 rows per batch."""
+    cust = _pq(sf_dir, "customer", ["c_nationkey"])
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat_to_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    region_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((nat_to_region, region_name))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n2r, r2name = ray.get(ref)
+        out = df.groupby("c_nationkey", as_index=False).agg(
+            n=("c_nationkey", "size"))
+        out["r_name"] = out["c_nationkey"].map(n2r).map(r2name)
+        return out[["r_name", "n"]]
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        cust.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("r_name")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"r_name": df["r_name"],
+                             "n_customers": df["n"].astype("int64")})
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+CUSTOMER_COUNT_BY_REGION_SQL = """
+SELECT r.r_name AS r_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def approx_distinct_users(sf_dir: str) -> "rd.Dataset":
     """HLL approximate distinct user count: one 4KiB sketch per batch,
     merged on the driver (sketches are tiny and mergeable — the shuffle

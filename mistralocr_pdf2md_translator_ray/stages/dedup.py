@@ -335,20 +335,28 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
     return _keep_after_pairs(docs, verified)
 
 
-def neardup_embedding(sf_dir: str, threshold: float = 0.95, n_planes: int = 12,
+def neardup_embedding(sf_dir: str, threshold: float = 0.95,
+                      n_bands: int = 4, planes_per_band: int = 8,
                       seed: int = 13) -> "rd.Dataset":
-    """Embedding-cosine near-dup removal: random-hyperplane LSH buckets,
-    exact cosine verification within buckets. Returns kept vec_ids
-    (column name doc_id for uniformity)."""
+    """Embedding-cosine near-dup removal: MULTI-BAND random-hyperplane
+    LSH (each doc lands in ``n_bands`` independent buckets — a pair at
+    angle theta collides in at least one band with probability
+    1-(1-(1-theta/pi)^planes)^bands, vs a single band's
+    (1-theta/pi)^planes; at cos=0.95 that's ~0.89 recall for 4x8 vs
+    ~0.28 for one 12-plane band), exact cosine verification within
+    buckets (false positives cost verification only, never
+    correctness). Returns kept vec_ids (column name doc_id for
+    uniformity)."""
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
 
-    # probe dim from one row, then broadcast the plane matrix
+    # probe dim from one row, then broadcast the per-band plane stacks
     first = ds.take(1)[0]["embedding"]
     dim = len(first)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((n_bands, dim, planes_per_band))
     planes_ref = ray.put(planes)
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
 
     def bucketize(t: pa.Table) -> pa.Table:
         from ..functions.vectors import list_column_to_matrix
@@ -356,13 +364,19 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95, n_planes: int = 12,
         P = ray.get(planes_ref)
         M = list_column_to_matrix(t["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        bits = (M @ P) > 0
-        keys = [hex(int("".join("1" if b else "0" for b in row), 2))
-                for row in bits]
+        ids = t["vec_id"].to_numpy()
+        key_parts, id_parts, vec_parts = [], [], []
+        for band in range(P.shape[0]):
+            bits = (M @ P[band]) > 0
+            codes = bits.astype(np.int64) @ weights
+            key_parts.extend(f"{band}:{c:x}" for c in codes)
+            id_parts.append(ids)
+            vec_parts.append(M)
         out = pa.table({
-            "band_key": pa.array(keys, pa.string()),
-            "doc_id": pa.array(t["vec_id"].to_pylist(), pa.int64()),
-            "vec": pa.array(M.tolist(), pa.list_(pa.float64())),
+            "band_key": pa.array(key_parts, pa.string()),
+            "doc_id": pa.array(np.concatenate(id_parts), pa.int64()),
+            "vec": pa.array(np.concatenate(vec_parts, axis=0).tolist(),
+                            pa.list_(pa.float64())),
         })
         return out
 

@@ -102,3 +102,90 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
         .limit(k)
         .select_columns(["vec_id", "score"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: the 100-TB path made concrete. Assignment is
+# written ONCE as parquet partitioned by centroid id; a query then
+# READS only its probed partitions (partition pruning at the source —
+# the corpus is never re-scanned per query).
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 8,
+                    seed: int = 5) -> np.ndarray:
+    """Partition the embeddings table by nearest-centroid id into
+    ``<index_dir>/cid=<k>/`` parquet plus ``centroids.npy``.
+
+    One streaming pass: assignment happens per batch against the
+    broadcast centroid matrix; Ray's partitioned parquet writer routes
+    rows to their partition directories. Returns the centroid matrix.
+    """
+    C = _centroids(sf_dir, n_centroids, seed)
+    c_ref = ray.put(C)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cc = ray.get(c_ref)
+        M = list_column_to_matrix(t["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cid = (M @ Cc.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("cid", pa.array(cid))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow",
+                   batch_size=8192).write_parquet(index_dir,
+                                                  partition_cols=["cid"])
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    return C
+
+
+def knn_cosine_ivf_indexed(index_dir: str, query_vec: np.ndarray,
+                           k: int = 10, nprobe: int = 3,
+                           exclude_vec_id: int | None = None) -> "rd.Dataset":
+    """Approximate top-k against a PREBUILT IVF index: only the
+    ``nprobe`` partitions nearest the query are read from storage —
+    at scale this prunes (n_centroids - nprobe)/n_centroids of all
+    bytes before a single batch moves."""
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    probed = np.argsort(-(C @ qv))[:nprobe]
+    # expand the probed partition dirs to their parquet files (Ray's
+    # reader resolves a single dir recursively but not a list of dirs)
+    files: list[str] = []
+    for c in probed:
+        part_dir = os.path.join(index_dir, f"cid={int(c)}")
+        if os.path.isdir(part_dir):
+            files.extend(sorted(
+                os.path.join(part_dir, f) for f in os.listdir(part_dir)
+                if f.endswith(".parquet")))
+    q_ref = ray.put(qv)
+
+    ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        v = ray.get(q_ref)
+        ids = t["vec_id"].to_numpy()
+        M = list_column_to_matrix(t["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ v
+        if exclude_vec_id is not None:
+            mask = ids != exclude_vec_id
+            ids, sims = ids[mask], sims[mask]
+        if len(ids) > k:
+            idx = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[idx], sims[idx]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "score": pa.array(np.round(sims, 3), pa.float64()),
+            "score_raw": pa.array(sims, pa.float64()),
+        })
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+        .sort(["score_raw", "vec_id"], descending=[True, False])
+        .limit(k)
+        .select_columns(["vec_id", "score"])
+    )

@@ -195,6 +195,83 @@ class TestSimilarity:
         assert len(brute & ivf) >= 7  # recall@10 >= 0.7 with half the probes
 
 
+class TestMultiBandLSH:
+    def test_recall_on_planted_near_pairs(self, tmp_path, ray_session):
+        """Plant near-dup pairs at cos ~0.96 (a real angle, not
+        epsilon-perturbations): multi-band LSH + exact verification
+        must remove most planted dups and no unrelated vector."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup import neardup_embedding
+
+        rng = np.random.default_rng(17)
+        dim, n_pairs, n_noise = 32, 30, 200
+        base = rng.standard_normal((n_pairs, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # rotate each base vector by ~16 degrees -> cosine ~0.96
+        perturb = rng.standard_normal((n_pairs, dim))
+        perturb -= (perturb * base).sum(1, keepdims=True) * base
+        perturb /= np.linalg.norm(perturb, axis=1, keepdims=True)
+        theta = np.arccos(0.96)
+        near = np.cos(theta) * base + np.sin(theta) * perturb
+        noise = rng.standard_normal((n_noise, dim))
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+
+        vecs = np.concatenate([base, near, noise])
+        cos = (vecs[:n_pairs] * vecs[n_pairs:2 * n_pairs]).sum(1)
+        assert (cos > 0.955).all()
+        emb = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        d = tmp_path / "emb_nd"
+        d.mkdir()
+        pq.write_table(emb, str(d / "embeddings.parquet"))
+
+        kept = set(r["doc_id"] for r in neardup_embedding(str(d)).take_all())
+        # every base and noise vector survives (they're mutually far)
+        removed = set(range(len(vecs))) - kept
+        assert removed <= set(range(n_pairs, 2 * n_pairs))  # only planted dups go
+        # multi-band recall: at least ~2/3 of planted dups caught
+        # (single 12-plane band catches ~28% in expectation)
+        assert len(removed) >= 20, f"recall too low: {len(removed)}/30"
+
+
+class TestIvfIndex:
+    def test_build_then_query_prunes_partitions(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import knn_cosine
+        from mistralocr_pdf2md_translator_ray.stages.similarity import (
+            build_ivf_index,
+            knn_cosine_ivf_indexed,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        idx = str(tmp_path / "ivf_index")
+        C = build_ivf_index(sf, idx, n_centroids=4, seed=5)
+        assert C.shape[0] == 4
+        # partitioned layout exists
+        import os
+
+        cids = [d for d in os.listdir(idx) if d.startswith("cid=")]
+        assert len(cids) >= 2
+
+        qt = pq.read_table(f"{sf}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "==", 0)])
+        qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+
+        # full probe == brute force (reads every partition)
+        brute = knn_cosine(sf).to_pandas()
+        full = knn_cosine_ivf_indexed(idx, qv, nprobe=4,
+                                      exclude_vec_id=0).to_pandas()
+        assert brute["vec_id"].tolist() == full["vec_id"].tolist()
+        assert brute["score"].tolist() == full["score"].tolist()
+
+        # partial probe reads FEWER partitions and keeps high recall
+        part = knn_cosine_ivf_indexed(idx, qv, nprobe=2,
+                                      exclude_vec_id=0).to_pandas()
+        assert len(set(brute["vec_id"]) & set(part["vec_id"])) >= 7
+
+
 class TestCentroidSampling:
     def test_deterministic_over_multi_row_group_file(self, tmp_path, ray_session):
         """Centroid training reads seeded row groups, not the corpus:
