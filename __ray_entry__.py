@@ -115,6 +115,26 @@ def _payload_features_query(sf_dir: str) -> Any:
     return payload_features(rd.from_arrow(p))
 
 
+def _payload_resize_query(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+    from mistralocr_pdf2md_translator_ray.stages.multimodal import resize_payloads
+
+    _t, p = generate_transcripts(n_convs=50, n_turns=2000, seed=42)
+    return resize_payloads(rd.from_arrow(p), width=16, height=16)
+
+
+def _frame_sample_query(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+    from mistralocr_pdf2md_translator_ray.stages.multimodal import sample_frames
+
+    _t, p = generate_transcripts(n_convs=50, n_turns=2000, seed=42)
+    return sample_frames(rd.from_arrow(p), every=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from mistralocr_pdf2md_translator_ray.pipelines import library as lib
     from mistralocr_pdf2md_translator_ray.stages import dedup as dd
@@ -167,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf_indexed": _knn_ivf_indexed_query,
         # multimodal plumbing (decode stubbed; see stages/multimodal.py)
         "payload_features": _payload_features_query,
+        "payload_resize": _payload_resize_query,
+        "frame_sample": _frame_sample_query,
     }
 
 

@@ -81,3 +81,131 @@ def payload_features(payloads: "rd.Dataset") -> "rd.Dataset":
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+class ImageResizeActor:
+    """binary image payload -> resized binary + dims metadata.
+
+    Decode/encode are STUBBED like ``PayloadFeatureActor._decode`` (no
+    codecs in this container): the deterministic fake derives the
+    "resized" bytes from blake2b(payload, target dims) with size
+    proportional to w*h, so downstream byte-size accounting is
+    realistic. The plumbing a real codec drops into — actor pool,
+    small batches for wide rows, error-as-value status — is real.
+    """
+
+    def __init__(self, width: int = 64, height: int = 64,
+                 fake: bool = True) -> None:
+        self._w, self._h = int(width), int(height)
+        self._fake = fake
+
+    def _resize(self, blob: bytes) -> bytes:
+        if not self._fake:
+            raise NotImplementedError(
+                "image resize requires an image codec; not available here")
+        seed = hashlib.blake2b(
+            blob + f"{self._w}x{self._h}".encode(), digest_size=32).digest()
+        # deterministic pseudo-pixels, 1 byte per target pixel
+        reps = (self._w * self._h) // len(seed) + 1
+        return (seed * reps)[: self._w * self._h]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["payload"].to_pylist()
+        out_blobs, statuses = [], []
+        for blob in blobs:
+            try:
+                out_blobs.append(self._resize(bytes(blob) if blob else b""))
+                statuses.append("ok")
+            except NotImplementedError as e:
+                out_blobs.append(b"")
+                statuses.append(f"error: {e}")
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "payload_id": batch["payload_id"],
+            "payload_resized": pa.array(out_blobs, pa.binary()),
+            "width": pa.array([self._w] * len(blobs), pa.int32()),
+            "height": pa.array([self._h] * len(blobs), pa.int32()),
+            "resize_status": pa.array(statuses, pa.string()),
+        })
+
+
+def resize_payloads(payloads: "rd.Dataset", width: int = 64,
+                    height: int = 64) -> "rd.Dataset":
+    return payloads.map_batches(
+        ImageResizeActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+        fn_constructor_kwargs={"width": width, "height": height},
+    )
+
+
+class FrameSampleActor:
+    """binary video payload -> one ROW PER SAMPLED FRAME (fan-out map).
+
+    The fake "container" derives frame count from payload length
+    (1 frame per KiB, min 1) and each frame's bytes from
+    blake2b(payload, frame_idx); a real demuxer replaces ``_frames``.
+    Output multiplies rows — the Ray shape is a map_batches whose
+    output table is longer than its input, which streams fine (no
+    flat_map per row)."""
+
+    def __init__(self, every: int = 2, fake: bool = True) -> None:
+        self._every = max(1, int(every))
+        self._fake = fake
+
+    def _frames(self, blob: bytes) -> list[tuple[int, bytes]]:
+        if not self._fake:
+            raise NotImplementedError(
+                "frame sampling requires a video demuxer; not available here")
+        n_frames = max(1, len(blob) // 1024)
+        out = []
+        for idx in range(0, n_frames, self._every):
+            out.append((idx, hashlib.blake2b(
+                blob + idx.to_bytes(4, "little"), digest_size=32).digest()))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_pylist()
+        pids = batch["payload_id"].to_pylist()
+        blobs = batch["payload"].to_pylist()
+        o_conv, o_turn, o_pid, o_idx, o_frame, o_status = [], [], [], [], [], []
+        for conv, turn, pid, blob in zip(convs, turns, pids, blobs):
+            try:
+                frames = self._frames(bytes(blob) if blob else b"")
+                for idx, fr in frames:
+                    o_conv.append(conv)
+                    o_turn.append(turn)
+                    o_pid.append(pid)
+                    o_idx.append(idx)
+                    o_frame.append(fr)
+                    o_status.append("ok")
+            except NotImplementedError as e:
+                o_conv.append(conv)
+                o_turn.append(turn)
+                o_pid.append(pid)
+                o_idx.append(-1)
+                o_frame.append(b"")
+                o_status.append(f"error: {e}")
+        return pa.table({
+            "conv_id": pa.array(o_conv, pa.string()),
+            "turn_idx": pa.array(o_turn, pa.int32()),
+            "payload_id": pa.array(o_pid, pa.string()),
+            "frame_idx": pa.array(o_idx, pa.int32()),
+            "frame": pa.array(o_frame, pa.binary()),
+            "sample_status": pa.array(o_status, pa.string()),
+        })
+
+
+def sample_frames(payloads: "rd.Dataset", every: int = 2) -> "rd.Dataset":
+    return payloads.map_batches(
+        FrameSampleActor,
+        batch_format="pyarrow",
+        batch_size=64,  # row fan-out: output is ~frames/every x larger
+        concurrency=(1, 4),
+        num_cpus=1,
+        fn_constructor_kwargs={"every": every},
+    )

@@ -296,6 +296,51 @@ class TestCentroidSampling:
         np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
 
 
+class TestResizeAndFrames:
+    def test_resize_deterministic_shape(self, tiny_fixture, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import resize_payloads
+
+        _t, p = tiny_fixture
+        out = resize_payloads(rd.from_arrow(p), width=8, height=4).to_pandas()
+        out = out.sort_values(["conv_id", "turn_idx", "payload_id"]).reset_index(drop=True)
+        assert len(out) == p.num_rows
+        assert (out["resize_status"] == "ok").all()
+        assert all(len(bytes(b)) == 8 * 4 for b in out["payload_resized"])
+        out2 = resize_payloads(rd.from_arrow(p), width=8, height=4).to_pandas()
+        out2 = out2.sort_values(["conv_id", "turn_idx", "payload_id"]).reset_index(drop=True)
+        assert [bytes(b) for b in out["payload_resized"]] == \
+               [bytes(b) for b in out2["payload_resized"]]
+
+    def test_frame_sampling_fans_out_rows(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import sample_frames
+
+        # 5 KiB payload -> 5 fake frames -> every=2 samples 0,2,4
+        p = pa.table({
+            "conv_id": pa.array(["c1"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "payload_id": pa.array(["v1"], pa.string()),
+            "kind": pa.array(["video"], pa.string()),
+            "payload": pa.array([b"\x01" * (5 * 1024)], pa.binary()),
+        })
+        out = sample_frames(rd.from_arrow(p), every=2).to_pandas()
+        assert out["frame_idx"].tolist() == [0, 2, 4]
+        assert (out["sample_status"] == "ok").all()
+        assert all(len(bytes(f)) == 32 for f in out["frame"])
+
+    def test_unstubbed_decode_is_error_value(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import FrameSampleActor
+
+        p = pa.table({
+            "conv_id": pa.array(["c1"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "payload_id": pa.array(["v1"], pa.string()),
+            "payload": pa.array([b"x"], pa.binary()),
+        })
+        out = FrameSampleActor(fake=False)(p)
+        assert out["sample_status"][0].as_py().startswith("error:")
+        assert out["frame_idx"][0].as_py() == -1
+
+
 class TestMultimodal:
     def test_payload_features_deterministic_and_shaped(self, tiny_fixture, ray_session):
         from mistralocr_pdf2md_translator_ray.stages.multimodal import (
