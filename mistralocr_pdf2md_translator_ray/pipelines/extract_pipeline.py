@@ -178,7 +178,11 @@ def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict):
     cpus = int(_ray.cluster_resources().get("CPU", 8))
     solo_pool = dict(plain_pool)
     if cpus >= 16:
-        solo_pool["concurrency"] = (cpus * 5) // 8
+        # 3/4 of cores — the invariant ceiling (tasks keep 1/4). Swept
+        # 20/22/24 at 32 CPUs over 9 interleaved runs: 24 best
+        # (22.6-25.2s) vs 20 (23.5-26.0s); reads finish early and the
+        # write tasks are light, so the fused stage can own more cores.
+        solo_pool["concurrency"] = (cpus * 3) // 4
     elif cpus >= 6:
         solo_pool["concurrency"] = cpus // 2
     # larger batches amortize the Arrow<->Python conversion (measured

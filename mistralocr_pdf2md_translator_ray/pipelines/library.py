@@ -794,30 +794,34 @@ FROM events GROUP BY event_type
 """
 
 
-def top_users_by_events(sf_dir: str, k: int = 20) -> "rd.Dataset":
-    """Heavy hitters: the k users with the most events. Partial counts
-    per batch -> small groupby Sum -> tiny global sort+limit (the
-    shuffle moves one row per user per batch, the sort sees one row
-    per user)."""
+def top_users_by_events(sf_dir: str, k: int = 20,
+                        num_buckets: int = 32) -> "rd.Dataset":
+    """Heavy hitters: the k users with the most events.
+
+    Partial counts per batch -> bucketed groupby by user hash with
+    TOP-K PUSHDOWN: each bucket sums its users vectorized and emits
+    only its local top k (a bucket holds every partial for its users,
+    so the global top k is a subset of the buckets' local top k).
+    The final sort sees <= k x buckets rows no matter how many
+    distinct users exist."""
     ds = _pq(sf_dir, "events", ["user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", as_index=False).agg(n=("user_id", "size"))
+        out = df.groupby("user_id", as_index=False).agg(n=("user_id", "size"))
+        out["b"] = bucket_ids_np(out["user_id"].to_numpy(), num_buckets)
+        return out
 
-    from ray.data.aggregate import Sum
-
-    final = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"user_id": df["user_id"],
-                             "n_events": df["n"].astype("int64")})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False).agg(n_events=("n", "sum"))
+        agg["n_events"] = agg["n_events"].astype("int64")
+        agg = agg.sort_values(["n_events", "user_id"],
+                              ascending=[False, True], kind="mergesort")
+        return agg.head(k)[["user_id", "n_events"]]
 
     return (
-        final.map_batches(finish, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
         .sort(["n_events", "user_id"], descending=[True, False])
         .limit(k)
     )
