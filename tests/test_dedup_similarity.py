@@ -111,6 +111,25 @@ class TestClustering:
             got = _removed_by_label_propagation(pairs, num_buckets=4)
             assert got == expected, pairs
 
+    def test_label_propagation_random_graphs(self, ray_session):
+        """Seeded random graphs (mixed chains/cliques/isolates): the
+        distributed path must agree with union-find every time."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup import (
+            _removed_by_label_propagation,
+            _union_find,
+        )
+
+        for seed in (3, 11):
+            rng = np.random.default_rng(seed)
+            n_edges = int(rng.integers(10, 40))
+            pairs = [tuple(sorted(map(int, rng.integers(0, 60, size=2))))
+                     for _ in range(n_edges)]
+            pairs = [p for p in pairs if p[0] != p[1]]
+            roots = _union_find(pairs)
+            expected = {d for d, r in roots.items() if r != d}
+            got = _removed_by_label_propagation(pairs, num_buckets=4)
+            assert got == expected, (seed, pairs)
+
     def test_dedup_through_propagation_path(self, dup_dir, ray_session,
                                             monkeypatch):
         from mistralocr_pdf2md_translator_ray.stages import dedup as dd

@@ -102,6 +102,59 @@ class TestLayoutProperties:
         assert layout_to_markdown(build(shuffled)) == base
 
 
+class TestSimhashBandProperties:
+    @given(st.integers(min_value=0, max_value=(1 << 64) - 1),
+           st.integers(min_value=0, max_value=7),
+           st.data())
+    @settings(max_examples=200, deadline=None)
+    def test_pigeonhole_guarantee(self, h, n_flips, data):
+        """For ANY hash and any <= max_hamming bit flips, blocking with
+        bands = max_hamming+1 must put the pair in at least one common
+        band — the recall guarantee dedup_simhash relies on."""
+        from mistralocr_pdf2md_translator_ray.functions.dedup import simhash_bands
+
+        flip_bits = data.draw(st.lists(st.integers(0, 63), min_size=n_flips,
+                                       max_size=n_flips, unique=True))
+        h2 = h
+        for b in flip_bits:
+            h2 ^= 1 << b
+        bands = n_flips + 1
+        assert any(x == y for x, y in zip(simhash_bands(h, bands),
+                                          simhash_bands(h2, bands)))
+
+
+class TestUnionFindProperties:
+    @given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                    max_size=80))
+    @settings(max_examples=100, deadline=None)
+    def test_roots_match_bfs_components(self, pairs):
+        """Union-find min-label roots == BFS connected components'
+        min element, for arbitrary edge lists (self-loops included)."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup import _union_find
+
+        roots = _union_find(pairs)
+        # reference: BFS over the undirected graph
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seen: set[int] = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, frontier = {start}, [start]
+            while frontier:
+                x = frontier.pop()
+                for y in adj[x]:
+                    if y not in comp:
+                        comp.add(y)
+                        frontier.append(y)
+            seen |= comp
+            lo = min(comp)
+            for x in comp:
+                assert roots[x] == lo
+
+
 class TestMinHashProperties:
     @given(st.text(min_size=30, max_size=300))
     @settings(max_examples=50, deadline=None)
