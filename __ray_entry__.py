@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg_value": lib.rolling_avg_value,
         "running_user_value": lib.running_user_value,
         "asof_purchase_click": lib.asof_purchase_click,
+        "clicks_before_purchase": lib.clicks_before_purchase,
         "approx_distinct_users": lib.approx_distinct_users,
         "median_value_by_type": lib.median_value_by_type,
         "top_users_by_events": lib.top_users_by_events,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": lib.ASOF_SQL,
         # approx_distinct_users: HLL sketch, approximate by design ->
         # rows-only check (error bound asserted in pytest)
+        "clicks_before_purchase": lib.CLICKS_BEFORE_PURCHASE_SQL,
         "median_value_by_type": lib.MEDIAN_VALUE_BY_TYPE_SQL,
         "top_users_by_events": lib.TOP_USERS_BY_EVENTS_SQL,
         "customer_count_by_region": lib.CUSTOMER_COUNT_BY_REGION_SQL,

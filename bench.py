@@ -155,6 +155,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("sessionize_events", lambda: lib.sessionize_events(SF_DIR))
     timed("hourly_counts", lambda: lib.hourly_counts(SF_DIR))
     timed("asof_purchase_click", lambda: lib.asof_purchase_click(SF_DIR))
+    timed("clicks_before_purchase", lambda: lib.clicks_before_purchase(SF_DIR))
     timed("token_counts", lambda: lib.token_counts(SF_DIR))
     timed("dedup_exact", lambda: lib.dedup_exact(SF_DIR))
     timed("dedup_minhash", lambda: dd.dedup_minhash(SF_DIR))

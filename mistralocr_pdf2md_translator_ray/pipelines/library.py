@@ -878,6 +878,76 @@ GROUP BY r.r_name
 """
 
 
+def clicks_before_purchase(sf_dir: str, window_min: int = 60,
+                           num_buckets: int = 32) -> "rd.Dataset":
+    """RANGE join: for each purchase, the number of the same user's
+    clicks in the preceding ``window_min`` minutes (inclusive bounds,
+    SQL BETWEEN semantics).
+
+    Ray Data has no interval join; the composition is the bucketed
+    co-location pattern plus a vectorized rank-difference inside each
+    bucket: clicks get a per-user cumulative rank, then TWO
+    ``merge_asof`` probes bound the window — rank at ``p.ts``
+    (exact matches in) minus rank just before ``p.ts - window``
+    (exact matches in, since the lower bound is inclusive). One
+    shuffle, no per-user UDF calls, no pair explosion.
+    """
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    window = pd.Timedelta(minutes=window_min)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("purchase", "click"))].copy()
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        c = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        if p.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "n_clicks": pd.Series(dtype="int64"),
+            })
+        c = c.assign(rank=c.groupby("user_id", sort=False).cumcount() + 1)
+        probe = p[["event_id", "user_id", "ts"]].reset_index(drop=True)
+        # rank of the last click at or before p.ts (0 when none)
+        hi = pd.merge_asof(
+            probe, c[["user_id", "ts", "rank"]], on="ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )[["event_id", "rank"]].rename(columns={"rank": "hi"})
+        # rank of the last click strictly before the (inclusive) lower
+        # bound p.ts - window; asof needs its probe sorted by the
+        # SHIFTED ts, so realign by event_id afterwards
+        shifted = (probe["ts"] - window).astype(probe["ts"].dtype)
+        lo_probe = probe.assign(ts=shifted).sort_values("ts", kind="mergesort")
+        lo = pd.merge_asof(
+            lo_probe, c[["user_id", "ts", "rank"]], on="ts", by="user_id",
+            direction="backward", allow_exact_matches=False,
+        )[["event_id", "rank"]].rename(columns={"rank": "lo"})
+        m = probe.merge(hi, on="event_id").merge(lo, on="event_id")
+        m["n_clicks"] = (m["hi"].fillna(0) - m["lo"].fillna(0)).astype("int64")
+        return m[["event_id", "user_id", "ts", "n_clicks"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+CLICKS_BEFORE_PURCHASE_SQL = """
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
 def approx_distinct_users(sf_dir: str) -> "rd.Dataset":
     """HLL approximate distinct user count: one 4KiB sketch per batch,
     merged on the driver (sketches are tiny and mergeable — the shuffle
