@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_k": lib.events_json_k,
         "sessionize_events": lib.sessionize_events,
         "hourly_counts": lib.hourly_counts,
+        "hopping_counts": lib.hopping_counts,
         "rolling_avg_value": lib.rolling_avg_value,
         "running_user_value": lib.running_user_value,
         "asof_purchase_click": lib.asof_purchase_click,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_k": lib.EVENTS_JSON_K_SQL,
         "sessionize_events": lib.SESSIONIZE_SQL,
         "hourly_counts": lib.HOURLY_COUNTS_SQL,
+        "hopping_counts": lib.HOPPING_COUNTS_SQL,
         "rolling_avg_value": lib.ROLLING_AVG_SQL,
         "running_user_value": lib.RUNNING_USER_VALUE_SQL,
         "asof_purchase_click": lib.ASOF_SQL,

@@ -154,6 +154,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("events_by_type", lambda: lib.events_by_type(SF_DIR))
     timed("sessionize_events", lambda: lib.sessionize_events(SF_DIR))
     timed("hourly_counts", lambda: lib.hourly_counts(SF_DIR))
+    timed("hopping_counts", lambda: lib.hopping_counts(SF_DIR))
     timed("asof_purchase_click", lambda: lib.asof_purchase_click(SF_DIR))
     timed("clicks_before_purchase", lambda: lib.clicks_before_purchase(SF_DIR))
     timed("token_counts", lambda: lib.token_counts(SF_DIR))

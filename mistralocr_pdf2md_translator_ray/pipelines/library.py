@@ -622,6 +622,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+def hopping_counts(sf_dir: str, window_s: int = 3600,
+                   hop_s: int = 900) -> "rd.Dataset":
+    """HOPPING (sliding) window counts: 1h windows advancing every
+    15min, per event_type. Each event lands in window_s/hop_s = 4
+    windows; the per-batch partial EXPLODES each row into its 4
+    window-start slots and pre-aggregates, so the shuffle moves one
+    row per (window, type) per batch — the fan-out never leaves the
+    batch. Window starts are computed in integer hop slots of the
+    microsecond timestamp (identical arithmetic in the SQL)."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+    k = window_s // hop_s
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        slot = df["ts"].astype("int64") // (hop_s * 1_000_000)
+        parts = []
+        for j in range(k):
+            parts.append(pd.DataFrame({
+                "ws_slot": slot - j, "event_type": df["event_type"]}))
+        ex = pd.concat(parts, ignore_index=True)
+        return ex.groupby(["ws_slot", "event_type"], as_index=False).agg(
+            n=("ws_slot", "size"))
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["ws_slot", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": pd.to_datetime(df["ws_slot"] * hop_s, unit="s"),
+            "event_type": df["event_type"],
+            "n_events": df["n"].astype("int64"),
+        })
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+HOPPING_COUNTS_SQL = """
+SELECT to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - j.j) * 900)
+           ::TIMESTAMP AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+GROUP BY 1, 2
+"""
+
+
 def rolling_avg_value(sf_dir: str, window: int = 5,
                       num_buckets: int = 32) -> "rd.Dataset":
     """Rolling window aggregate: per user, the running mean of `value`
