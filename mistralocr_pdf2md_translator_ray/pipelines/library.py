@@ -644,22 +644,30 @@ def hopping_counts(sf_dir: str, window_s: int = 3600,
         return ex.groupby(["ws_slot", "event_type"], as_index=False).agg(
             n=("ws_slot", "size"))
 
-    from ray.data.aggregate import Sum
+    # high-cardinality final combine (windows x types): Ray's sort
+    # aggregate pays seconds of fixed cost here — use the bucketed
+    # groupby with a vectorized combine per bucket instead (same
+    # pattern as every other high-cardinality reduction in this repo)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["ws_slot"].to_numpy(), 32)
+        return df
 
-    final = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["ws_slot", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ws_slot", "event_type"], as_index=False).agg(
+            n=("n", "sum"))
         return pd.DataFrame({
-            "window_start": pd.to_datetime(df["ws_slot"] * hop_s, unit="s"),
-            "event_type": df["event_type"],
-            "n_events": df["n"].astype("int64"),
+            "window_start": pd.to_datetime(out["ws_slot"] * hop_s, unit="s"),
+            "event_type": out["event_type"],
+            "n_events": out["n"].astype("int64"),
         })
 
-    return final.map_batches(finish, batch_format="pandas")
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 HOPPING_COUNTS_SQL = """
@@ -1088,26 +1096,38 @@ FROM documents
 """
 
 
-def dedup_exact(sf_dir: str) -> "rd.Dataset":
+def dedup_exact(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
     """Exact dedup: hash-partition on a content hash, keep min doc_id
-    per text (first-writer-wins)."""
+    per text (first-writer-wins).
+
+    Content-hash cardinality ~ document count, so the combine is the
+    bucketed groupby (per-batch partials -> hash buckets -> vectorized
+    min/count per bucket) — Ray's sort aggregate pays seconds of fixed
+    cost per task at high key cardinality (measured on hopping_counts /
+    top_users_by_events)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
+    from ..functions.hashing import bucket_ids
     from ..functions.textstats import content_hash
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         h = pa.array([content_hash(s) for s in t["text"].to_pylist()], pa.string())
-        return pa.table({"doc_id": t["doc_id"], "h": h})
+        df = pa.table({"doc_id": t["doc_id"], "h": h}).to_pandas()
+        agg = df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        out = pa.Table.from_pandas(agg, preserve_index=False)
+        return out.append_column("b", bucket_ids(out["h"], num_buckets))
 
-    from ray.data.aggregate import Count, Min
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out[["doc_id", "n_dups"]]
 
-    # vectorized grouped aggregate (never one UDF call per hash group)
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=65536)
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"),
-                   Count(alias_name="n_dups"))
-        .select_columns(["doc_id", "n_dups"])
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
