@@ -593,23 +593,30 @@ def hourly_counts(sf_dir: str) -> "rd.Dataset":
             s=("v_u", "sum"), n=("v_u", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    # window cardinality grows with the data's time range — bucketed
+    # combine, not Ray's sort aggregate (fixed cost per task explodes
+    # past ~10k keys; see hopping_counts / BASELINE.md)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["window_start"].astype("int64").to_numpy(), 32)
+        return df
 
-    final = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["window_start", "event_type"], as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
         return pd.DataFrame({
-            "window_start": df["window_start"],
-            "event_type": df["event_type"],
-            "n_events": df["n"].astype("int64"),
-            "total_value": df["s"] / 100.0,
+            "window_start": out["window_start"],
+            "event_type": out["event_type"],
+            "n_events": out["n"].astype("int64"),
+            "total_value": out["s"] / 100.0,
         })
 
-    return final.map_batches(finish, batch_format="pandas")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 HOURLY_COUNTS_SQL = """

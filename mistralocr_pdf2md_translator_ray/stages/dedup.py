@@ -98,7 +98,9 @@ def _removed_by_label_propagation(pairs: list[tuple[int, int]],
     labels = rd.from_arrow(pa.table({
         "nbr": pa.array(nodes), "lbl": pa.array(nodes)}))
 
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_ids
 
     def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         # ldf: edges (node, nbr); rdf: labels (nbr, lbl). Emit each
@@ -110,6 +112,17 @@ def _removed_by_label_propagation(pairs: list[tuple[int, int]],
         out = out.astype({"node": "int64", "lbl": "int64"})
         return out.groupby("node", as_index=False).agg(lbl=("lbl", "min"))
 
+    def add_node_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("nb", bucket_ids(t["node"], num_buckets))
+
+    def re_min(g: pd.DataFrame) -> pd.DataFrame:
+        # node cardinality ~ dup-doc count (can be huge): bucketed
+        # combine, never Ray's sort aggregate (fixed cost per task at
+        # high key counts — see BASELINE.md)
+        out = g.groupby("node", as_index=False).agg(lbl=("lbl", "min"))
+        return pd.DataFrame({"nbr": out["node"].astype("int64"),
+                             "lbl": out["lbl"].astype("int64")})
+
     prev_sum = None
     for _ in range(max_iters):
         new_labels = (
@@ -119,13 +132,9 @@ def _removed_by_label_propagation(pairs: list[tuple[int, int]],
                 right_schema=pa.schema([("nbr", pa.int64()), ("lbl", pa.int64())]),
                 num_buckets=num_buckets,
             )
-            .groupby("node")
-            .aggregate(Min("lbl", alias_name="lbl"))
-            .map_batches(
-                lambda t: pa.table({"nbr": t["node"].cast(pa.int64()),
-                                    "lbl": t["lbl"].cast(pa.int64())}),
-                batch_format="pyarrow",
-            )
+            .map_batches(add_node_bucket, batch_format="pyarrow")
+            .groupby("nb")
+            .map_groups(re_min, batch_format="pandas")
             .materialize()
         )
         cur_sum = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
