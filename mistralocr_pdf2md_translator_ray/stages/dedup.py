@@ -6,22 +6,27 @@ Four detectors, each the standard shape for web-scale dedup:
     -> explode to (band_key, doc_id) rows
     -> groupby(band_key): buckets with >1 doc emit candidate pairs
     -> verify pairs exactly (Jaccard / Hamming / cosine)
-    -> cluster (union-find) -> keep min doc_id per cluster
+    -> cluster (union-find / label propagation) -> keep min doc_id per cluster
 
 Scale notes: the shuffle only moves sketch rows (16 x 16B per doc), not
-text. Candidate-pair verification is sharded across raw Ray tasks —
-each shard reads ONLY its colliding docs via parquet predicate
-pushdown and recomputes their shingle sets locally (cheaper than
-shipping shingles through the shuffle). Clustering is adaptive:
-driver-side union-find while the verified pair list is small
-(pairs ~ dup docs, not corpus size), switching to distributed
-min-label propagation (bucketed co-group rounds over the edge set)
-past ``_UNION_FIND_MAX_PAIRS`` — the two paths are equality-tested.
+text or vectors. Candidate pairs are a ``Dataset`` END-TO-END — they are
+deduped across bands by a bucketed combine, verified by ``map_batches``
+over pair blocks (each block reads ONLY its colliding docs via parquet
+predicate pushdown and recomputes shingles / cosines locally — cheaper
+than shipping payloads through the shuffle), and fed to clustering as a
+Dataset. The driver never holds a pair list: clustering is adaptive —
+below ``_UNION_FIND_MAX_PAIRS`` the pair blocks go by ObjectRef into ONE
+Ray task running union-find (bounded by the constant, not the corpus);
+above it, distributed min-label propagation (bucketed co-group rounds
+over the edge Dataset) takes over. The two paths are equality-tested.
+The final removal is adaptive too: a bounded removed-id set broadcasts
+via ``ray.put``; an unbounded one anti-joins distributed.
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -51,7 +56,10 @@ def _read_docs(sf_dir: str) -> "rd.Dataset":
 
 
 def _union_find(n_pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Min-label union-find over verified pairs -> {doc_id: root}."""
+    """Min-label union-find over verified pairs -> {doc_id: root}.
+
+    Pure function; in production it runs INSIDE a Ray task
+    (``_union_find_removed``), never on the driver."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -69,38 +77,80 @@ def _union_find(n_pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 
 _UNION_FIND_MAX_PAIRS = 1_000_000
+# removed-id sets up to this size broadcast as one sorted int64 array
+# (<= 16 MB object); larger sets switch to a distributed anti-join so no
+# single heap ever holds the id set.
+_BROADCAST_REMOVED_MAX = 2_000_000
 
 
-def _removed_by_label_propagation(pairs: list[tuple[int, int]],
-                                  num_buckets: int = 32,
-                                  max_iters: int = 64) -> set[int]:
+@ray.remote
+def _union_find_removed(*blocks: pa.Table) -> pa.Table:
+    """Union-find over pair blocks, run as ONE Ray task: the pair blocks
+    arrive by ObjectRef (zero driver involvement) and only the removed
+    doc_ids leave. Gated by _UNION_FIND_MAX_PAIRS, so the task heap is
+    bounded by the constant, not the corpus."""
+    pairs: list[tuple[int, int]] = []
+    for t in blocks:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            continue
+        pairs.extend(zip(t["a"].to_numpy().tolist(), t["b"].to_numpy().tolist()))
+    roots = _union_find(pairs)
+    removed = np.fromiter(
+        sorted(d for d, r in roots.items() if r != d), dtype=np.int64)
+    return pa.table({"doc_id": pa.array(removed, pa.int64())})
+
+
+def _removed_ds_by_label_propagation(pairs: "rd.Dataset",
+                                     num_buckets: int = 32,
+                                     max_iters: int = 64) -> "rd.Dataset":
     """Connected components by distributed min-label propagation.
 
-    The edge set becomes a Dataset; each round co-groups edges with the
-    current labels (one bucketed shuffle) and re-minimizes per node.
-    Labels only ever decrease, so the global label sum is a strictly
-    decreasing convergence witness — iterate until it is stable (O(
-    cluster diameter) rounds; near-dup clusters are star/clique shaped,
-    so 2-3 in practice). Returns every node whose final label isn't
-    itself (the docs to drop). Memory per task is one bucket's edges,
-    never the whole graph.
+    Takes the verified-pair Dataset directly (no driver materialization).
+    Each round co-groups the edge set with the current labels (one
+    bucketed shuffle) and re-minimizes per node. Labels only ever
+    decrease, so the global label sum is a monotone convergence witness —
+    iterate until it is stable (O(cluster diameter) rounds; near-dup
+    clusters are star/clique shaped, so 2-3 in practice). Returns a
+    Dataset of doc_ids whose final label isn't themselves (the docs to
+    drop). Memory per task is one bucket's edges, never the whole graph.
+    Warns loudly if max_iters rounds pass without reaching the fixpoint
+    (adversarial chain-shaped graphs deeper than max_iters) — unconverged
+    clustering is never silent.
     """
-    from .joins import cogroup
-
-    a = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
-    b = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
-    # both directions so min labels flow either way along an edge
-    edges = rd.from_arrow(pa.table({
-        "node": pa.array(np.concatenate([a, b])),
-        "nbr": pa.array(np.concatenate([b, a])),
-    }))
-    nodes = np.unique(np.concatenate([a, b]))
-    labels = rd.from_arrow(pa.table({
-        "nbr": pa.array(nodes), "lbl": pa.array(nodes)}))
-
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import bucket_ids
+    from .joins import cogroup
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        # both directions so min labels flow either way along an edge
+        t = _ensure_pair_schema(t)
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]).astype(np.int64)),
+            "nbr": pa.array(np.concatenate([b, a]).astype(np.int64)),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    # initial labels = every node self-labelled; distinct node ids via
+    # per-batch unique -> bucketed distinct (never a driver collect)
+    def batch_nodes(t: pa.Table) -> pa.Table:
+        u = np.unique(t["node"].to_numpy())
+        out = pa.table({"nbr": pa.array(u, pa.int64())})
+        return out.append_column("nb", bucket_ids(out["nbr"], num_buckets))
+
+    def distinct_self_label(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["nbr"].drop_duplicates().astype("int64")
+        return pd.DataFrame({"nbr": u, "lbl": u})
+
+    labels = (
+        edges.map_batches(batch_nodes, batch_format="pyarrow")
+        .groupby("nb")
+        .map_groups(distinct_self_label, batch_format="pandas")
+        .materialize()
+    )
 
     def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         # ldf: edges (node, nbr); rdf: labels (nbr, lbl). Emit each
@@ -124,6 +174,7 @@ def _removed_by_label_propagation(pairs: list[tuple[int, int]],
                              "lbl": out["lbl"].astype("int64")})
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         new_labels = (
             cogroup(
@@ -140,45 +191,119 @@ def _removed_by_label_propagation(pairs: list[tuple[int, int]],
         cur_sum = new_labels.aggregate(Sum("lbl", alias_name="s"))["s"]
         labels = new_labels
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break  # labels only decrease; equal sum == fixpoint
         prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"label propagation did not reach a fixpoint in {max_iters} "
+            "rounds; duplicate clusters may be under-merged (graph "
+            "diameter exceeds max_iters). Raise max_iters.",
+            RuntimeWarning,
+        )
 
-    final = labels.to_pandas()
-    return set(final.loc[final["nbr"] != final["lbl"], "nbr"].astype(int))
+    def removed_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(t["nbr"], t["lbl"])
+        return pa.table({"doc_id": t.filter(mask)["nbr"]})
+
+    return labels.map_batches(removed_only, batch_format="pyarrow")
 
 
-def _keep_after_pairs(docs: "rd.Dataset", pairs: list[tuple[int, int]]) -> "rd.Dataset":
-    """Drop every doc whose cluster root isn't itself. Adaptive:
-    driver union-find for bounded pair lists, distributed min-label
-    propagation past _UNION_FIND_MAX_PAIRS (adversarial dup rates)."""
-    if len(pairs) <= _UNION_FIND_MAX_PAIRS:
-        roots = _union_find(pairs)
-        removed = {d for d, r in roots.items() if r != d}
+def _removed_by_label_propagation(pairs: list[tuple[int, int]],
+                                  num_buckets: int = 32,
+                                  max_iters: int = 64) -> set[int]:
+    """List-of-pairs convenience wrapper (tests / small graphs) around
+    the Dataset-native propagation path."""
+    if not pairs:
+        return set()
+    a = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+    b = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+    ds = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    removed = _removed_ds_by_label_propagation(ds, num_buckets, max_iters)
+    return {int(r["doc_id"]) for r in removed.take_all()}
+
+
+def _collect_bounded_ids(ids: "rd.Dataset") -> np.ndarray:
+    """Materialized id Dataset -> sorted int64 array on the driver.
+    ONLY called behind a count() gate (<= _BROADCAST_REMOVED_MAX), i.e.
+    this is the deliberate broadcast-small-side pattern, bounded by a
+    constant — never corpus-scaled."""
+    tbls = ray.get(ids.to_arrow_refs())
+    parts = [t["doc_id"].to_numpy() for t in tbls if t.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts).astype(np.int64))
+
+
+def _keep_after_pairs(docs: "rd.Dataset", pairs: "rd.Dataset") -> "rd.Dataset":
+    """Drop every doc whose cluster root isn't itself.
+
+    ``pairs`` is a Dataset of verified (a, b) edges and stays distributed:
+    clustering is adaptive (single-task union-find for bounded pair
+    counts, distributed min-label propagation past _UNION_FIND_MAX_PAIRS)
+    and the removal filter is adaptive too (ray.put broadcast of a
+    bounded id array; bucketed anti-join when the removed set itself is
+    too big for one heap)."""
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"]})
+
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return docs.map_batches(project, batch_format="pyarrow")
+
+    if n_pairs <= _UNION_FIND_MAX_PAIRS:
+        # pair blocks travel object-store -> one task; never the driver
+        removed = rd.from_arrow_refs(
+            [_union_find_removed.remote(*pairs.to_arrow_refs())])
     else:
-        removed = _removed_by_label_propagation(pairs)
-    # broadcast a sorted int64 array (np.isin against a Python set
-    # silently degrades to an object-scalar comparison)
-    removed_arr = np.fromiter(sorted(removed), dtype=np.int64,
-                              count=len(removed))
-    removed_ref = ray.put(removed_arr)
+        removed = _removed_ds_by_label_propagation(pairs)
+    removed = removed.materialize()
+    n_removed = removed.count()
 
-    def keep(t: pa.Table) -> pa.Table:
-        rm = ray.get(removed_ref)
-        mask = pa.array(~np.isin(t["doc_id"].to_numpy(), rm))
-        return t.select(["doc_id"]).filter(mask)
+    if n_removed <= _BROADCAST_REMOVED_MAX:
+        removed_arr = _collect_bounded_ids(removed)
+        removed_ref = ray.put(removed_arr)
 
-    return docs.map_batches(keep, batch_format="pyarrow")
+        def keep(t: pa.Table) -> pa.Table:
+            # np.isin against a Python set silently degrades to an
+            # object-scalar comparison — always pass an ndarray
+            rm = ray.get(removed_ref)
+            mask = pa.array(~np.isin(t["doc_id"].to_numpy(), rm))
+            return pa.table({"doc_id": t["doc_id"].filter(mask)})
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    # removed set too large to broadcast: distributed anti-join
+    from .joins import cogroup
+
+    def anti(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        out = ldf[~ldf["doc_id"].isin(rdf["doc_id"])]
+        return out[["doc_id"]].astype({"doc_id": "int64"})
+
+    return cogroup(
+        docs.map_batches(project, batch_format="pyarrow"),
+        removed,
+        on=["doc_id"],
+        merge_fn=anti,
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
 
 
-def _pairs_bucketed(bucket_rows: "rd.Dataset", group_pair_fn,
-                    num_buckets: int = 64) -> list[tuple[int, int]]:
-    """band_key rows -> verified-candidate pair list.
+def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
+                   num_buckets: int = 64) -> "rd.Dataset":
+    """band_key rows -> Dataset of distinct candidate pairs (a, b).
 
-    Groups by ``crc32(band_key) % B`` (B map_groups calls total — never
+    Groups by ``hash(band_key) % B`` (B map_groups calls total — never
     one per band, since almost every band bucket has exactly one member
     and per-group UDF overhead would dominate). Inside a bucket, bands
     with >= 2 members are found vectorized; ``group_pair_fn(sub)`` emits
-    pairs for one colliding band's rows.
+    pairs for one colliding band's rows. The same pair surfaces once per
+    colliding band, so a second bucketed combine (keyed on ``a``)
+    deduplicates distributed — the pair set never lands on the driver.
     """
     from ..functions.hashing import bucket_ids
 
@@ -199,16 +324,38 @@ def _pairs_bucketed(bucket_rows: "rd.Dataset", group_pair_fn,
 
     from .joins import coalesce_blocks
 
-    pairs_df = (
+    raw_pairs = (
         bucket_rows.map_batches(add_bucket, batch_format="pyarrow")
         .repartition(coalesce_blocks())
         .groupby("b")
         .map_groups(per_bucket, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs_df.empty:
-        return []
-    return sorted(set(zip(pairs_df["a"], pairs_df["b"])))
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("pb", bucket_ids(t["a"], num_buckets))
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+        return out[["a", "b"]].astype({"a": "int64", "b": "int64"})
+
+    return (
+        raw_pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .repartition(coalesce_blocks())
+        .groupby("pb")
+        .map_groups(distinct_pairs, batch_format="pandas")
+        # the sort-based groupby reduce emits SCHEMA-LESS empty blocks
+        # for empty partitions; coerce every block to the (a, b) schema
+        # so downstream sorts / map_batches never see a degenerate block
+        .map_batches(_ensure_pair_schema, batch_format="pyarrow")
+    )
+
+
+def _ensure_pair_schema(t: pa.Table) -> pa.Table:
+    if "a" not in t.column_names:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    return pa.table({"a": t["a"].cast(pa.int64()),
+                     "b": t["b"].cast(pa.int64())})
 
 
 def _all_pairs(sub: pd.DataFrame):
@@ -218,43 +365,74 @@ def _all_pairs(sub: pd.DataFrame):
             yield ids[i], ids[j]
 
 
-@ray.remote
-def _verify_shard(doc_path: str, shard: list[tuple[int, int]],
-                  shingle_fn, threshold: float) -> list[tuple[int, int]]:
-    """Verify one shard of candidate pairs: parquet predicate pushdown
-    fetches only this shard's colliding docs; shingle sets are built
+def _verify_jaccard_ds(doc_path: str, pairs: "rd.Dataset", shingle_fn,
+                       threshold: float,
+                       batch_size: int = 4096) -> "rd.Dataset":
+    """Exact-verify candidate pairs as a map_batches stage over pair
+    blocks. Pairs are range-sorted by (a, b) first so each batch's doc
+    set is id-clustered and its parquet predicate scan touches few row
+    groups; no task (and never the driver) holds every colliding doc's
+    text — each batch reads only its own docs and builds shingle sets
     once per doc in-task."""
-    import pyarrow.parquet as pq
 
-    need = sorted({d for p in shard for d in p})
-    tbl = pq.read_table(doc_path, columns=["doc_id", "text"],
-                        filters=[("doc_id", "in", need)])
-    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    shingles = {d: shingle_fn(texts[d]) for d in need}
-    return [(a, b) for a, b in shard
-            if jaccard(shingles[a], shingles[b]) >= threshold]
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if t.num_rows == 0:
+            return t
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        need = np.unique(np.concatenate([a, b])).tolist()
+        tbl = pq.read_table(doc_path, columns=["doc_id", "text"],
+                            filters=[("doc_id", "in", need)])
+        texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        shingles = {d: shingle_fn(texts[d]) for d in need}
+        mask = np.fromiter(
+            (jaccard(shingles[int(x)], shingles[int(y)]) >= threshold
+             for x, y in zip(a, b)),
+            dtype=bool, count=len(a))
+        return t.filter(pa.array(mask))
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return pairs  # an empty Dataset has no schema to sort on
+    return pairs.sort(["a", "b"]).map_batches(
+        verify, batch_format="pyarrow", batch_size=batch_size)
 
 
-def _verify_jaccard(sf_dir: str, pairs: list[tuple[int, int]],
-                    shingle_fn, threshold: float,
-                    shard_size: int = 4096) -> list[tuple[int, int]]:
-    """Exact-verify candidate pairs in PARALLEL Ray tasks (one per
-    pair shard). Pairs are sorted before sharding, so a shard's doc set
-    is id-clustered and its parquet predicate scan touches few row
-    groups; no task (and not the driver) ever holds every colliding
-    doc's text."""
-    if not pairs:
-        return []
-    doc_path = os.path.join(sf_dir, "documents.parquet")
-    refs = [
-        _verify_shard.remote(doc_path, pairs[i:i + shard_size],
-                             shingle_fn, threshold)
-        for i in range(0, len(pairs), shard_size)
-    ]
-    out: list[tuple[int, int]] = []
-    for chunk in ray.get(refs):
-        out.extend(chunk)
-    return sorted(out)
+def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
+                      batch_size: int = 4096) -> "rd.Dataset":
+    """Exact cosine verification over pair blocks: each batch reads ONLY
+    its colliding vectors by parquet predicate pushdown and scores the
+    pairs with one vectorized gather + row-wise dot — the embeddings
+    never travel through the LSH shuffle (band keys + ids only)."""
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from ..functions.vectors import list_column_to_matrix
+
+        if t.num_rows == 0:
+            return t
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        need = np.unique(np.concatenate([a, b])).tolist()
+        tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                            filters=[("vec_id", "in", need)])
+        ids = tbl["vec_id"].to_numpy()
+        M = list_column_to_matrix(tbl["embedding"]).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        ia = np.fromiter((pos[int(x)] for x in a), np.int64, count=len(a))
+        ib = np.fromiter((pos[int(x)] for x in b), np.int64, count=len(b))
+        sims = np.einsum("ij,ij->i", M[ia], M[ib])
+        return t.filter(pa.array(sims >= threshold))
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return pairs  # an empty Dataset has no schema to sort on
+    return pairs.sort(["a", "b"]).map_batches(
+        verify, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -275,8 +453,10 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> "rd.Da
                          "doc_id": pa.array(ids, pa.int64())})
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
-    pairs = _pairs_bucketed(buckets, _all_pairs)
-    verified = _verify_jaccard(sf_dir, pairs, char_shingles, threshold)
+    pairs = _pairs_dataset(buckets, _all_pairs)
+    verified = _verify_jaccard_ds(
+        os.path.join(sf_dir, "documents.parquet"), pairs, char_shingles,
+        threshold)
     return _keep_after_pairs(docs, verified)
 
 
@@ -296,8 +476,10 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.7, seed: int = 7) -> "rd.Datas
                          "doc_id": pa.array(ids, pa.int64())})
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
-    pairs = _pairs_bucketed(buckets, _all_pairs)
-    verified = _verify_jaccard(sf_dir, pairs, word_ngrams, threshold)
+    pairs = _pairs_dataset(buckets, _all_pairs)
+    verified = _verify_jaccard_ds(
+        os.path.join(sf_dir, "documents.parquet"), pairs, word_ngrams,
+        threshold)
     return _keep_after_pairs(docs, verified)
 
 
@@ -331,6 +513,8 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
 
     def hamming_pairs(sub: pd.DataFrame):
+        # verification happens inline (the sketch IS the full signature),
+        # so the pair Dataset is already verified
         rows = sorted(set(zip((int(x) for x in sub["doc_id"]),
                               (int(h) for h in sub["simhash"]))))
         for i in range(len(rows)):
@@ -340,7 +524,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
                 if rows[i][0] != rows[j][0] and hamming64(ha, hb) <= max_hamming:
                     yield rows[i][0], rows[j][0]
 
-    verified = _pairs_bucketed(buckets, hamming_pairs)
+    verified = _pairs_dataset(buckets, hamming_pairs)
     return _keep_after_pairs(docs, verified)
 
 
@@ -352,12 +536,13 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
     angle theta collides in at least one band with probability
     1-(1-(1-theta/pi)^planes)^bands, vs a single band's
     (1-theta/pi)^planes; at cos=0.95 that's ~0.89 recall for 4x8 vs
-    ~0.28 for one 12-plane band), exact cosine verification within
-    buckets (false positives cost verification only, never
-    correctness). Returns kept vec_ids (column name doc_id for
-    uniformity)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+    ~0.28 for one 12-plane band), exact cosine verification in sharded
+    pair blocks that re-read ONLY their colliding vectors by parquet
+    predicate pushdown (false positives cost verification only, never
+    correctness; the shuffle moves band keys + ids, never the vectors).
+    Returns kept vec_ids (column name doc_id for uniformity)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
     # probe dim from one row, then broadcast the per-band plane stacks
     first = ds.take(1)[0]["embedding"]
@@ -374,38 +559,22 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
         M = list_column_to_matrix(t["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         ids = t["vec_id"].to_numpy()
-        key_parts, id_parts, vec_parts = [], [], []
+        key_parts, id_parts = [], []
         for band in range(P.shape[0]):
             bits = (M @ P[band]) > 0
             codes = bits.astype(np.int64) @ weights
             key_parts.extend(f"{band}:{c:x}" for c in codes)
             id_parts.append(ids)
-            vec_parts.append(M)
-        out = pa.table({
+        return pa.table({
             "band_key": pa.array(key_parts, pa.string()),
             "doc_id": pa.array(np.concatenate(id_parts), pa.int64()),
-            "vec": pa.array(np.concatenate(vec_parts, axis=0).tolist(),
-                            pa.list_(pa.float64())),
         })
-        return out
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
-
-    def cosine_pairs(sub: pd.DataFrame):
-        ids = np.array(sub["doc_id"], dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        M = np.array([np.asarray(v) for v in sub["vec"].to_numpy()[order]])
-        sims = M @ M.T
-        iu = np.triu_indices(len(ids), k=1)
-        hits = sims[iu] >= threshold
-        for i, j, h in zip(iu[0], iu[1], hits):
-            if h and ids[i] != ids[j]:
-                yield int(ids[i]), int(ids[j])
-
-    verified = _pairs_bucketed(buckets, cosine_pairs)
+    pairs = _pairs_dataset(buckets, _all_pairs)
+    verified = _verify_cosine_ds(emb_path, pairs, threshold)
     keep_docs = ds.map_batches(
-        lambda t: pa.table({"doc_id": pa.array(t["vec_id"].to_pylist(), pa.int64())}),
+        lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
     return _keep_after_pairs(keep_docs, verified)
