@@ -36,3 +36,25 @@ def bucket_ids_np(values, num_buckets: int) -> np.ndarray:
 
     s = pl.Series(values) if not isinstance(values, np.ndarray) else pl.Series(values)
     return (s.hash(seed=0) % num_buckets).to_numpy().astype(np.int32)
+
+
+def crc32_part_ids(col: "pa.Array | pa.ChunkedArray",
+                   n_partitions: int) -> np.ndarray:
+    """Arrow string column -> int64 ``crc32(key) % N`` partition ids.
+
+    The hash MUST stay zlib.crc32 (checkpoint part_id stability
+    contract — see module docstring), but the per-row Python loop is
+    avoided by dictionary-encoding first: conv_ids repeat across every
+    turn of a conversation, so the crc runs once per UNIQUE key and a
+    vectorized gather fans it back out."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    pids = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % n_partitions for u in uniq),
+        dtype=np.int64, count=len(uniq))
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pids[idx]

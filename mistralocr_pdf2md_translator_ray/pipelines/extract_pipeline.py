@@ -103,20 +103,20 @@ def _parquet_meta_rows(files: list[str]) -> int:
 
 def _filter_conv_partitions(payloads: "rd.Dataset", conv_filter) -> "rd.Dataset":
     """Restrict a payloads Dataset to conversations hashing into the
-    pending partitions (resume path for the non-broadcast route)."""
-    import zlib
-
+    pending partitions (resume path for the non-broadcast route).
+    crc32 per UNIQUE conv via dictionary encoding + vectorized isin —
+    the hash itself stays crc32 (checkpoint stability contract)."""
+    import numpy as np
     import pyarrow as pa
 
+    from ..functions.hashing import crc32_part_ids
+
     part_ids, n_parts = conv_filter
+    want = np.fromiter(sorted(part_ids), dtype=np.int64, count=len(part_ids))
 
     def fn(t: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [zlib.crc32(c.encode("utf-8")) % n_parts in part_ids
-             for c in t["conv_id"].to_pylist()],
-            pa.bool_(),
-        )
-        return t.filter(mask)
+        pids = crc32_part_ids(t["conv_id"], n_parts)
+        return t.filter(pa.array(np.isin(pids, want)))
 
     return payloads.map_batches(fn, batch_format="pyarrow")
 
@@ -137,11 +137,12 @@ def _child_partial_refs(files: list[str], conv_filter=None):
 
     @ray.remote
     def _partial(shard: list[str]) -> dict:
-        import zlib
-
+        import numpy as np
+        import pyarrow as _pa
         import pyarrow.parquet as pq
 
         from ..functions.extract import extract_child_payload
+        from ..functions.hashing import crc32_part_ids
 
         out: dict = {}
         for f in shard:
@@ -150,14 +151,10 @@ def _child_partial_refs(files: list[str], conv_filter=None):
             )
             if conv_filter is not None:
                 part_ids, n_parts = conv_filter
-                import pyarrow as _pa
-
-                mask = _pa.array(
-                    [zlib.crc32(c.encode("utf-8")) % n_parts in part_ids
-                     for c in t["conv_id"].to_pylist()],
-                    _pa.bool_(),
-                )
-                t = t.filter(mask)
+                want = np.fromiter(sorted(part_ids), dtype=np.int64,
+                                   count=len(part_ids))
+                pids = crc32_part_ids(t["conv_id"], n_parts)
+                t = t.filter(_pa.array(np.isin(pids, want)))
             for conv, turn, pid, kind, blob in zip(
                 t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
                 t["payload_id"].to_pylist(), t["kind"].to_pylist(),

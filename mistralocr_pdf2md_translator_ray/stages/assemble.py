@@ -196,11 +196,12 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
         batch_format="pandas", batch_size=65536,
     )
     counts = counts_partial.groupby("conv_id").aggregate(Sum("n", alias_name="n"))
-    hot = {
-        r["conv_id"]
-        for b in counts.iter_batches(batch_size=4096, batch_format="pandas")
-        for r in b[b["n"] > hot_threshold].to_dict("records")
-    }
+    # filter n > hot_threshold ON-CLUSTER: the driver only ever collects
+    # the (almost always tiny) hot set, never a row per conversation
+    hot_only = counts.map_batches(
+        lambda df: df.loc[df["n"] > hot_threshold, ["conv_id"]],
+        batch_format="pandas")
+    hot = {r["conv_id"] for r in hot_only.take_all()}
     if not hot:
         return assemble_conversations(per_turn_ds, salt_span=None,
                                       num_buckets=num_buckets)

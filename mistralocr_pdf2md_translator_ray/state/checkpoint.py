@@ -57,11 +57,13 @@ def part_id_for_key(key: str, n_partitions: int) -> int:
 
 
 def add_part_id(ds: "rd.Dataset", key: str, n_partitions: int) -> "rd.Dataset":
+    from ..functions.hashing import crc32_part_ids
+
     def fn(t: pa.Table) -> pa.Table:
-        pids = pa.array(
-            [part_id_for_key(k, n_partitions) for k in t[key].to_pylist()],
-            pa.int32(),
-        )
+        # crc32 once per unique key + vectorized gather; identical ids
+        # to part_id_for_key (stability contract pins crc32)
+        pids = pa.array(crc32_part_ids(t[key], n_partitions).astype("int32"),
+                        pa.int32())
         return t.append_column("part_id", pids)
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -139,8 +141,14 @@ def run_checkpointed(
     # - a per-partition entry recorded against a different input
     #   fragment is stale -> recompute just that partition
     meta = _load_meta(ckpt_dir)
+    pruned = False
     if meta is not None and meta.get("n_partitions") != n_partitions:
+        pruned = bool(lineage)
         lineage = {}
+        # persist the cleared manifest BEFORE deleting data: a crash
+        # between these steps must never leave on-disk lineage claiming
+        # partitions whose data is gone
+        _save_lineage(ckpt_dir, lineage)
         if os.path.isdir(data_dir):
             shutil.rmtree(data_dir)
             os.makedirs(data_dir, exist_ok=True)
@@ -148,6 +156,13 @@ def run_checkpointed(
              if v.get("input_fragment", "") != input_fragment]
     for p in stale:
         del lineage[p]
+        pruned = True
+    if pruned:
+        # the pruned manifest must hit disk before the new meta does;
+        # otherwise a crash during recompute leaves new meta + stale
+        # lineage entries, and the next resume silently skips partitions
+        # that were invalidated (returning a dataset missing their rows)
+        _save_lineage(ckpt_dir, lineage)
     _save_meta(ckpt_dir, {"n_partitions": n_partitions, "key": key,
                           "input_fragment": input_fragment})
 

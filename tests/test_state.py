@@ -166,6 +166,60 @@ class TestResumeValidation:
         dirs = sorted(os.listdir(os.path.join(ckpt, "data")))
         assert all(int(d.split("=")[1]) < N_PARTS * 2 for d in dirs)
 
+    def test_crash_during_invalidated_recompute_is_safe(self, tmp_path):
+        """A crash AFTER invalidation persists the new meta but BEFORE
+        the recompute finishes must never leave on-disk lineage claiming
+        partitions whose data was deleted — the next resume has to
+        recompute everything, not silently return a dataset missing
+        rows."""
+        ckpt = str(tmp_path / "ckpt")
+        out1 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m1")),
+            ckpt, key="conv_id", n_partitions=N_PARTS))
+
+        def exploding_transform(ds):
+            raise RuntimeError("simulated crash mid-recompute")
+
+        try:
+            run_checkpointed(
+                rd.from_arrow(_input_table()), exploding_transform,
+                ckpt, key="conv_id", n_partitions=N_PARTS * 2)
+        except RuntimeError:
+            pass
+        # the cleared manifest must already be on disk (atomic with the
+        # meta change), so nothing stale survives the crash
+        assert load_lineage(ckpt) == {}
+
+        out2 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m2")),
+            ckpt, key="conv_id", n_partitions=N_PARTS * 2))
+        pd.testing.assert_frame_equal(out1, out2)
+        assert sorted(load_lineage(ckpt)) == list(range(N_PARTS * 2))
+
+    def test_crash_after_fragment_prune_is_safe(self, tmp_path):
+        """Same crash window for the per-partition stale-fragment prune:
+        the pruned manifest hits disk before the new meta does."""
+        ckpt = str(tmp_path / "ckpt")
+        out1 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m1")),
+            ckpt, key="conv_id", n_partitions=N_PARTS, input_fragment="v1"))
+
+        def exploding_transform(ds):
+            raise RuntimeError("simulated crash mid-recompute")
+
+        try:
+            run_checkpointed(
+                rd.from_arrow(_input_table()), exploding_transform,
+                ckpt, key="conv_id", n_partitions=N_PARTS, input_fragment="v2")
+        except RuntimeError:
+            pass
+        assert load_lineage(ckpt) == {}
+
+        out2 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m2")),
+            ckpt, key="conv_id", n_partitions=N_PARTS, input_fragment="v2"))
+        pd.testing.assert_frame_equal(out1, out2)
+
 
 class TestDocsPhaseCrashSafety:
     def test_partial_docs_dir_cleared_on_rerun(self, tmp_path):
@@ -202,3 +256,16 @@ class TestDocsPhaseCrashSafety:
 def test_part_id_stable():
     assert part_id_for_key("conv-000001", 16) == part_id_for_key("conv-000001", 16)
     assert 0 <= part_id_for_key("anything", 7) < 7
+
+
+def test_crc32_part_ids_matches_scalar_contract():
+    """The vectorized (dictionary-encoded) partition hash must agree
+    with part_id_for_key row-for-row — it IS the on-disk layout."""
+    import pyarrow as pa
+
+    from mistralocr_pdf2md_translator_ray.functions.hashing import crc32_part_ids
+
+    keys = [f"conv-{i % 17:04d}" for i in range(200)] + ["", "x", "conv-9999"]
+    col = pa.chunked_array([pa.array(keys[:100]), pa.array(keys[100:])])
+    got = crc32_part_ids(col, 16)
+    assert list(got) == [part_id_for_key(k, 16) for k in keys]
