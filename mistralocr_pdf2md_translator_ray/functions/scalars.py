@@ -66,7 +66,10 @@ def decode_data_url(s) -> tuple[bytes, str, bool]:
     else:
         b64 = s
     try:
-        return base64.b64decode(b64, validate=True), mime, True
+        # MIME line-wrapped payloads carry whitespace/newlines the
+        # reference's lenient decode accepts — strip them, but keep
+        # validate=True so genuinely corrupt bodies stay error rows
+        return base64.b64decode("".join(b64.split()), validate=True), mime, True
     except (ValueError, binascii.Error):
         return b"", mime, False
 

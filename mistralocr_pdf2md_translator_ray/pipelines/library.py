@@ -307,12 +307,23 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 # Sort / top-k / distinct (O-series, §2.7)
 # ---------------------------------------------------------------------------
 
-def top_orders(sf_dir: str) -> "rd.Dataset":
-    """Top 10 orders by totalprice (orderkey tiebreak -> deterministic)."""
+def top_orders(sf_dir: str, k: int = 10) -> "rd.Dataset":
+    """Top k orders by totalprice (orderkey tiebreak -> deterministic).
+
+    Per-batch top-k prune BEFORE the sort: the global top k is a subset
+    of every batch's local top k, so the all-to-all Sort operator only
+    ever sees <= k rows per input batch instead of the whole fact table
+    (same local-prune-then-tiny-global-sort shape as knn_cosine)."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+
     return (
         _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(prune, batch_format="pandas", batch_size=65536)
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
+        .limit(k)
     )
 
 
@@ -642,7 +653,11 @@ def hopping_counts(sf_dir: str, window_s: int = 3600,
     k = window_s // hop_s
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        slot = df["ts"].astype("int64") // (hop_s * 1_000_000)
+        # enforce the microsecond unit before the int view: a batch
+        # arriving as datetime64[ns] (pandas/pyarrow default in other
+        # configs) would otherwise yield silently 1000x-wrong slots
+        slot = df["ts"].astype("datetime64[us]").astype("int64") \
+            // (hop_s * 1_000_000)
         parts = []
         for j in range(k):
             parts.append(pd.DataFrame({
@@ -814,41 +829,213 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
-def median_value_by_type(sf_dir: str) -> "rd.Dataset":
-    """Exact p50 of `value` per event_type (grouped quantile).
+def _float_ord_keys(v: np.ndarray) -> np.ndarray:
+    """float64 -> uint64 keys whose unsigned order equals float order
+    (IEEE-754 total order for non-NaN: flip all bits of negatives, set
+    the sign bit of non-negatives). Lossless, so the narrowed key maps
+    back to the EXACT element value — no quantization."""
+    b = np.ascontiguousarray(v, dtype=np.float64).view(np.uint64)
+    neg = (b & np.uint64(1 << 63)) != 0
+    return np.where(neg, ~b, b | np.uint64(1 << 63))
 
-    Shape: partial per-batch unit-value counts would not give an exact
-    median, so the values shuffle once, bucketed by event_type (LOW
-    cardinality — five types; the partitioning assumption is that one
-    type's values fit a task, the same assumption every per-bucket op
-    here makes). Inside a bucket one vectorized numpy sort per type.
-    Scale fallback for high-cardinality or oversized groups: iterative
-    distributed histogram narrowing over the exact integer units
-    (few-round binary search on counts), noted here for the 100x path.
-    Parity: discrete quantile (lower-middle element), identical
+
+def _float_from_ord_key(k: int) -> float:
+    k = np.uint64(k)
+    b = (k ^ np.uint64(1 << 63)) if k & np.uint64(1 << 63) else ~k
+    return float(np.array([b], dtype=np.uint64).view(np.float64)[0])
+
+
+def _median_by_histogram_narrowing(ds: "rd.Dataset",
+                                   stats: "pd.DataFrame",
+                                   nb: int = 1024) -> "pd.DataFrame":
+    """Exact grouped median for groups too large to sort in one task:
+    iterative distributed histogram narrowing (binary search on ordered
+    float keys). Each round one streaming pass histograms every active
+    group's values into <= nb sub-ranges of its current [lo, hi] key
+    window; the window narrows to the bucket containing the target rank
+    (range shrinks ~nb x per round, so <= ceil(64/log2 nb) = 7 rounds
+    worst case, 2-3 for real-world value ranges). Per-round driver state
+    is O(active_groups); per-round collected data is the tiny histogram
+    aggregate — values themselves NEVER leave the cluster and no task
+    ever holds a group's full value set.
+
+    ``stats``: columns event_type, n, kmin, kmax (uint64 keys as ints).
+    Returns event_type, median_value, n_events.
+    """
+    import ray
+
+    state: dict[str, tuple[int, int]] = {}
+    target: dict[str, int] = {}
+    result: dict[str, float] = {}
+    n_by_type: dict[str, int] = {}
+    for r in stats.itertuples(index=False):
+        n_by_type[r.event_type] = int(r.n)
+        target[r.event_type] = (int(r.n) - 1) // 2
+        if r.kmin == r.kmax:
+            result[r.event_type] = _float_from_ord_key(int(r.kmin))
+        else:
+            state[r.event_type] = (int(r.kmin), int(r.kmax))
+
+    while state:
+        bounds = {
+            et: (lo, hi, max(1, -(-(hi - lo + 1) // nb)))  # ceil-div step
+            for et, (lo, hi) in state.items()
+        }
+        bounds_ref = ray.put(bounds)
+
+        def hist(df: pd.DataFrame) -> pd.DataFrame:
+            b = ray.get(bounds_ref)
+            types, idxs, cnts = [], [], []
+            for et, sub in df.groupby("event_type", sort=False):
+                if et not in b:
+                    continue
+                lo, hi, step = b[et]
+                keys = _float_ord_keys(sub["value"].to_numpy())
+                # values outside the window were accounted for in
+                # earlier rounds; letting them clip into edge buckets
+                # would corrupt the rank arithmetic
+                keys = keys[(keys >= np.uint64(lo)) & (keys <= np.uint64(hi))]
+                if not len(keys):
+                    continue
+                idx = np.minimum((keys - np.uint64(lo)) // np.uint64(step),
+                                 np.uint64(nb - 1)).astype(np.int64)
+                bc = np.bincount(idx, minlength=0)
+                nz = np.nonzero(bc)[0]
+                types.extend([et] * len(nz))
+                idxs.extend(nz.tolist())
+                cnts.extend(bc[nz].tolist())
+            return pd.DataFrame({"event_type": pd.array(types, dtype="object"),
+                                 "idx": pd.array(idxs, dtype="int64"),
+                                 "cnt": pd.array(cnts, dtype="int64")})
+
+        # the collected result is a pre-aggregated histogram
+        # (<= blocks x groups x nb tiny rows), never the values
+        parts = ds.map_batches(hist, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+        agg = parts.groupby(["event_type", "idx"])["cnt"].sum()
+        for et in list(state):
+            lo, hi = state[et]
+            step = bounds[et][2]
+            counts = agg.loc[et].sort_index()
+            cum = counts.cumsum()
+            pos = int(np.searchsorted(cum.to_numpy(), target[et] + 1))
+            bucket_idx = int(counts.index[pos])
+            before = int(cum.iloc[pos - 1]) if pos > 0 else 0
+            target[et] -= before
+            new_lo = lo + bucket_idx * step
+            new_hi = hi if bucket_idx == nb - 1 else min(hi, new_lo + step - 1)
+            if new_lo == new_hi:
+                result[et] = _float_from_ord_key(new_lo)
+                del state[et]
+            else:
+                state[et] = (new_lo, new_hi)
+
+    out = pd.DataFrame({
+        "event_type": sorted(result),
+        "median_value": [result[et] for et in sorted(result)],
+        "n_events": pd.array([n_by_type[et] for et in sorted(result)],
+                             dtype="int64"),
+    })
+    return out
+
+
+# groups above this many rows leave the one-task-per-group path and go
+# through distributed histogram narrowing (a 100-TB corpus puts tens of
+# billions of rows in one event_type — no task can sort that)
+_MEDIAN_ONE_TASK_MAX = 50_000_000
+
+
+def median_value_by_type(sf_dir: str,
+                         one_task_max_rows: int = _MEDIAN_ONE_TASK_MAX
+                         ) -> "rd.Dataset":
+    """Exact p50 of `value` per event_type (grouped quantile), ADAPTIVE:
+
+    - groups whose size fits a task: values shuffle once, bucketed by
+      event_type; one vectorized numpy sort per type inside the bucket
+    - oversized groups (> one_task_max_rows): iterative distributed
+      histogram narrowing over order-preserving float keys — exact, no
+      task ever materializes the group (see
+      ``_median_by_histogram_narrowing``); the two paths are
+      equality-tested (tests force the threshold to 0)
+
+    A first count-only pass over the event_type column routes each
+    group. Parity: discrete quantile (lower-middle element), identical
     element selection in the SQL via quantile_disc.
     """
+    counts = (
+        _pq(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda df: df.groupby("event_type", as_index=False)
+            .agg(n=("event_type", "size")),
+            batch_format="pandas", batch_size=262144)
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n"].sum()
+    )
+    big_types = set(counts.loc[counts["n"] > one_task_max_rows, "event_type"])
+
     ds = _pq(sf_dir, "events", ["event_type", "value"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["b"] = bucket_ids_np(df["event_type"].to_numpy(), 8)
-        return df
+    small_part = None
+    if len(big_types) < len(counts):
+        small_ds = ds
+        if big_types:
+            bt = sorted(big_types)
+            small_ds = ds.map_batches(
+                lambda df, _bt=bt: df[~df["event_type"].isin(_bt)],
+                batch_format="pandas")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for et, sub in g.groupby("event_type", sort=False):
-            v = np.sort(sub["value"].to_numpy())
-            out.append((et, float(v[(len(v) - 1) // 2]), len(v)))
-        r = pd.DataFrame(out, columns=["event_type", "median_value", "n_events"])
-        r["n_events"] = r["n_events"].astype("int64")
-        return r
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["b"] = bucket_ids_np(df["event_type"].to_numpy(), 8)
+            return df
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
-        .groupby("b")
-        .map_groups(per_bucket, batch_format="pandas")
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for et, sub in g.groupby("event_type", sort=False):
+                v = np.sort(sub["value"].to_numpy())
+                out.append((et, float(v[(len(v) - 1) // 2]), len(v)))
+            r = pd.DataFrame(out,
+                             columns=["event_type", "median_value", "n_events"])
+            r["n_events"] = r["n_events"].astype("int64")
+            return r
+
+        small_part = (
+            small_ds.map_batches(add_bucket, batch_format="pandas",
+                                 batch_size=65536)
+            .groupby("b")
+            .map_groups(per_bucket, batch_format="pandas")
+            # arrow-ify so a union with the histogram side never mixes
+            # pandas and arrow block types (breaks iter_batches)
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        if not big_types:
+            return small_part
+
+    big_ds = ds.map_batches(
+        lambda df, _bt=sorted(big_types): df[df["event_type"].isin(_bt)],
+        batch_format="pandas")
+
+    def key_stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type", sort=False):
+            k = _float_ord_keys(sub["value"].to_numpy())
+            rows.append((et, len(k), int(k.min()), int(k.max())))
+        out = pd.DataFrame(rows, columns=["event_type", "n", "kmin", "kmax"])
+        return out.astype({"n": "int64", "kmin": "uint64", "kmax": "uint64"})
+
+    stats = (
+        big_ds.map_batches(key_stats, batch_format="pandas",
+                           batch_size=262144)
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), kmin=("kmin", "min"), kmax=("kmax", "max"))
     )
+    big_part = rd.from_arrow(
+        pa.Table.from_pandas(_median_by_histogram_narrowing(big_ds, stats),
+                             preserve_index=False))
+    if small_part is None:
+        return big_part
+    return small_part.union(big_part)
 
 
 MEDIAN_VALUE_BY_TYPE_SQL = """

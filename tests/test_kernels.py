@@ -207,6 +207,16 @@ class TestDataUrl:
         b, mime, ok = decode_data_url("aGVsbG8=")
         assert (b, ok) == (b"hello", True)
 
+    def test_mime_linewrapped_base64_decodes(self):
+        # MIME encoders wrap base64 at 76 chars; the reference decodes
+        # such bodies leniently, so whitespace must not be an error
+        from mistralocr_pdf2md_translator_ray.functions import decode_data_url
+
+        b, mime, ok = decode_data_url("data:text/plain;base64,aGVs\nbG8=\n")
+        assert (b, mime, ok) == (b"hello", "text/plain", True)
+        b, _mime, ok = decode_data_url("aGVs bG8=")
+        assert (b, ok) == (b"hello", True)
+
     def test_invalid_is_error_value_not_exception(self):
         from mistralocr_pdf2md_translator_ray.functions import decode_data_url
 

@@ -59,3 +59,60 @@ def test_rows_only_queries_run(name, ray_session):
     df = _to_pandas(res)
     assert len(df) >= 0
     assert len(df.columns) >= 1
+
+
+class TestMedianHistogramNarrowing:
+    """The distributed histogram-narrowing median must equal the
+    one-task-per-group path (and the DuckDB oracle) exactly."""
+
+    def test_forced_histogram_path_matches_default(self, ddb, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            MEDIAN_VALUE_BY_TYPE_SQL,
+            median_value_by_type,
+        )
+
+        # threshold 0 forces EVERY group through histogram narrowing
+        got = _normalize(_to_pandas(
+            median_value_by_type(SF_DIR, one_task_max_rows=0)))
+        default = _normalize(_to_pandas(median_value_by_type(SF_DIR)))
+        pd.testing.assert_frame_equal(got, default, check_dtype=False)
+        exp = _normalize(ddb.sql(MEDIAN_VALUE_BY_TYPE_SQL).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+
+    def test_mixed_routing_matches(self, ddb, ray_session):
+        """A threshold between the smallest and largest group size
+        exercises BOTH paths in one query (union of the two parts)."""
+        import duckdb
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            MEDIAN_VALUE_BY_TYPE_SQL,
+            median_value_by_type,
+        )
+
+        sizes = duckdb.sql(
+            f"SELECT count(*) AS n FROM '{SF_DIR}/events.parquet' "
+            "GROUP BY event_type ORDER BY n"
+        ).df()["n"]
+        if len(sizes) < 2 or sizes.iloc[0] == sizes.iloc[-1]:
+            pytest.skip("need heterogeneous group sizes")
+        thresh = int(sizes.iloc[len(sizes) // 2])
+        got = _normalize(_to_pandas(
+            median_value_by_type(SF_DIR, one_task_max_rows=thresh)))
+        exp = _normalize(ddb.sql(MEDIAN_VALUE_BY_TYPE_SQL).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+
+    def test_float_ord_key_roundtrip_and_order(self):
+        import numpy as np
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            _float_from_ord_key,
+            _float_ord_keys,
+        )
+
+        vals = np.array([-1e300, -3.5, -0.0, 0.0, 1e-12, 2.0, 7.25, 1e300])
+        keys = _float_ord_keys(vals)
+        assert (np.diff(keys.astype(np.uint64)) >= 0).all()
+        back = np.array([_float_from_ord_key(int(k)) for k in keys])
+        assert (back == vals).all()
