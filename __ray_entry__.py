@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": lib.token_counts,
         "dedup_exact": lib.dedup_exact,
         "doc_stats": lib.doc_stats,
+        "text_char_metrics": lib.text_char_metrics,
         "text_quality": _text_quality_query,
         "dedup_minhash": dd.dedup_minhash,
         "dedup_ngram": dd.dedup_ngram,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": lib.TOKEN_COUNTS_SQL,
         "dedup_exact": lib.DEDUP_EXACT_SQL,
         "doc_stats": lib.DOC_STATS_SQL,
+        "text_char_metrics": lib.TEXT_CHAR_METRICS_SQL,
         "knn_cosine": lib.KNN_COSINE_SQL,
         # extract_turns / extract_documents / text_quality /
         # dedup_minhash / dedup_simhash / neardup_embedding:

@@ -1290,6 +1290,59 @@ FROM documents
 """
 
 
+def text_char_metrics(sf_dir: str) -> "rd.Dataset":
+    """SQL-verifiable slice of the quality-score inputs: per-document
+    character-class counts and ratios (ASCII punctuation / digits /
+    uppercase). The classes are explicit ASCII ranges so Python's re and
+    DuckDB's RE2 agree byte-for-byte (Python \\w/\\s are Unicode-aware,
+    RE2's are not — never use them in a parity kernel). Ratios divide
+    the exact int counts as float64 in both engines, so they hash
+    bitwise-equal. The non-SQL composite (stopword lang-ID, weighted
+    quality score, fingerprint) stays in ``stages.textstats``."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    punct = r"[!-/:-@\[-`{-~]"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = df["text"].str.len().astype("int64")
+        n_punct = df["text"].str.count(punct).astype("int64")
+        n_digits = df["text"].str.count(r"[0-9]").astype("int64")
+        n_upper = df["text"].str.count(r"[A-Z]").astype("int64")
+        denom = n_chars.to_numpy().astype("float64")
+        safe = np.where(denom > 0, denom, 1.0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": n_chars,
+            "n_punct": n_punct,
+            "n_digits": n_digits,
+            "n_upper": n_upper,
+            "punct_ratio": np.where(denom > 0, n_punct.to_numpy() / safe, 0.0),
+            "digit_ratio": np.where(denom > 0, n_digits.to_numpy() / safe, 0.0),
+            "upper_ratio": np.where(denom > 0, n_upper.to_numpy() / safe, 0.0),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=65536)
+
+
+TEXT_CHAR_METRICS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) END AS upper_ratio
+FROM documents
+"""
+
+
 def dedup_exact(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
     """Exact dedup: hash-partition on a content hash, keep min doc_id
     per text (first-writer-wins).

@@ -1,15 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are ``binary`` columns with sidecar metadata
-(kind, dims). The decode step itself is STUBBED — no image/audio codecs
-exist in this container — but the Ray-side plumbing is real and tested:
-actor-pool signature, small batch sizes for wide binary rows, schema,
-and output layout all match what a real decoder drops into.
-
-To plug a real decoder: subclass ``PayloadFeatureActor`` and override
-``_decode`` (it currently raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic blake2b-derived
-pseudo-decode so the pipeline shape is testable end-to-end).
+(kind, dims). Decode is AUTO-PROBED: if a real codec is importable
+(Pillow for images, PyAV for video) the actors use it; in this
+container neither exists, so the deterministic blake2b-derived fake
+runs instead — the Ray-side plumbing (actor-pool signature, small batch
+sizes for wide binary rows, schema, output layout) is identical either
+way and is what the tests exercise. ``fake=True`` forces the fake,
+``fake=False`` demands a real codec (NotImplementedError without one),
+``fake=None`` (default) probes.
 """
 
 from __future__ import annotations
@@ -23,6 +22,29 @@ import ray.data as rd
 FEATURE_DIM = 16
 
 
+def probe_image_codec():
+    """Optional-dependency probe: return the PIL.Image module when a
+    real image codec is importable, else None. Actors built with
+    ``fake=None`` (the default) use the real decoder iff one exists —
+    in this container none does, so the deterministic fake runs; a
+    deployment with Pillow installed gets real decode with NO config
+    change."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
+def probe_video_codec():
+    """Same probe for a video demuxer (PyAV)."""
+    try:
+        import av  # noqa: PLC0415
+        return av
+    except ImportError:
+        return None
+
+
 class PayloadFeatureActor:
     """binary payload -> fixed-dim feature vector + metadata.
 
@@ -30,20 +52,27 @@ class PayloadFeatureActor:
     the projection seed) loads once per actor in ``__init__``.
     """
 
-    def __init__(self, fake: bool = True) -> None:
-        self._fake = fake
+    def __init__(self, fake: bool | None = None) -> None:
+        # fake=None -> auto: real decode iff an image codec is importable
+        self._codec = probe_image_codec() if fake is not False else None
+        self._fake = (self._codec is None) if fake is None else fake
         rng = np.random.default_rng(99)
         self._proj = rng.standard_normal((32, FEATURE_DIM))
 
     def _decode(self, blob: bytes) -> np.ndarray:
-        """STUB: real image/audio decode is unavailable in this
-        environment. The deterministic fake hashes the payload into a
-        32-byte vector; a real implementation returns pixel/sample
-        arrays."""
+        """Real path: PIL decode -> 8x4 grayscale thumbnail -> 32
+        floats. Fake path (this container has no codecs): hash the
+        payload into a deterministic 32-byte vector. Both feed the same
+        projection."""
         if not self._fake:
-            raise NotImplementedError(
-                "payload decode requires an image/audio codec; not available here"
-            )
+            if self._codec is None:
+                raise NotImplementedError(
+                    "payload decode requires an image codec (Pillow); "
+                    "not available here")
+            import io
+
+            img = self._codec.open(io.BytesIO(blob)).convert("L").resize((8, 4))
+            return np.asarray(img, dtype=np.float64).reshape(32) / 255.0
         digest = hashlib.blake2b(blob or b"", digest_size=32).digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
 
@@ -95,14 +124,23 @@ class ImageResizeActor:
     """
 
     def __init__(self, width: int = 64, height: int = 64,
-                 fake: bool = True) -> None:
+                 fake: bool | None = None) -> None:
         self._w, self._h = int(width), int(height)
-        self._fake = fake
+        self._codec = probe_image_codec() if fake is not False else None
+        self._fake = (self._codec is None) if fake is None else fake
 
     def _resize(self, blob: bytes) -> bytes:
         if not self._fake:
-            raise NotImplementedError(
-                "image resize requires an image codec; not available here")
+            if self._codec is None:
+                raise NotImplementedError(
+                    "image resize requires an image codec (Pillow); "
+                    "not available here")
+            import io
+
+            img = self._codec.open(io.BytesIO(blob)).resize((self._w, self._h))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
         seed = hashlib.blake2b(
             blob + f"{self._w}x{self._h}".encode(), digest_size=32).digest()
         # deterministic pseudo-pixels, 1 byte per target pixel
@@ -152,14 +190,25 @@ class FrameSampleActor:
     output table is longer than its input, which streams fine (no
     flat_map per row)."""
 
-    def __init__(self, every: int = 2, fake: bool = True) -> None:
+    def __init__(self, every: int = 2, fake: bool | None = None) -> None:
         self._every = max(1, int(every))
-        self._fake = fake
+        self._codec = probe_video_codec() if fake is not False else None
+        self._fake = (self._codec is None) if fake is None else fake
 
     def _frames(self, blob: bytes) -> list[tuple[int, bytes]]:
         if not self._fake:
-            raise NotImplementedError(
-                "frame sampling requires a video demuxer; not available here")
+            if self._codec is None:
+                raise NotImplementedError(
+                    "frame sampling requires a video demuxer (PyAV); "
+                    "not available here")
+            import io
+
+            out = []
+            with self._codec.open(io.BytesIO(blob)) as container:
+                for idx, frame in enumerate(container.decode(video=0)):
+                    if idx % self._every == 0:
+                        out.append((idx, frame.to_ndarray().tobytes()))
+            return out
         n_frames = max(1, len(blob) // 1024)
         out = []
         for idx in range(0, n_frames, self._every):

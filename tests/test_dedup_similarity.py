@@ -278,12 +278,15 @@ class TestIvfIndex:
                            filters=[("vec_id", "==", 0)])
         qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
 
-        # full probe == brute force (reads every partition)
-        brute = knn_cosine(sf).to_pandas()
-        full = knn_cosine_ivf_indexed(idx, qv, nprobe=4,
-                                      exclude_vec_id=0).to_pandas()
-        assert brute["vec_id"].tolist() == full["vec_id"].tolist()
-        assert brute["score"].tolist() == full["score"].tolist()
+        # full probe == brute force, byte-for-byte (oracle anchor: at
+        # nprobe=n_centroids the index reads every partition, so the
+        # result must equal knn_cosine EXACTLY, not just by recall)
+        import pandas as pd
+
+        brute = knn_cosine(sf).to_pandas().reset_index(drop=True)
+        full = knn_cosine_ivf_indexed(
+            idx, qv, nprobe=4, exclude_vec_id=0).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(brute, full, check_exact=True)
 
         # partial probe reads FEWER partitions and keeps high recall
         part = knn_cosine_ivf_indexed(idx, qv, nprobe=2,
@@ -380,3 +383,45 @@ class TestMultimodal:
         # n_bytes matches the raw payload sizes
         exp_sizes = [len(b) for b in p.column("payload").to_pylist()]
         assert sorted(out1["n_bytes"].tolist()) == sorted(exp_sizes)
+
+
+class TestCodecProbe:
+    def test_probe_returns_none_without_codecs(self):
+        """In this container no codec exists: the probe must say so and
+        the default (fake=None) actor must resolve to the fake path."""
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import (
+            FrameSampleActor,
+            ImageResizeActor,
+            PayloadFeatureActor,
+            probe_image_codec,
+            probe_video_codec,
+        )
+
+        has_pil = probe_image_codec() is not None
+        has_av = probe_video_codec() is not None
+        assert PayloadFeatureActor()._fake == (not has_pil)
+        assert ImageResizeActor()._fake == (not has_pil)
+        assert FrameSampleActor()._fake == (not has_av)
+
+    def test_real_decode_when_pil_available(self):
+        """Availability-guarded real path: PNG decodes to a 32-float
+        thumbnail and resize emits a real PNG (skips without Pillow)."""
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import (
+            ImageResizeActor,
+            PayloadFeatureActor,
+        )
+
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (20, 10), (128, 64, 32)).save(buf, format="PNG")
+        png = buf.getvalue()
+
+        decoded = PayloadFeatureActor(fake=False)._decode(png)
+        assert decoded.shape == (32,)
+        assert 0.0 <= decoded.min() and decoded.max() <= 1.0
+
+        resized = ImageResizeActor(width=4, height=4, fake=False)._resize(png)
+        img = PIL_Image.open(io.BytesIO(resized))
+        assert img.size == (4, 4)
