@@ -77,6 +77,9 @@ def _union_find(n_pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 
 _UNION_FIND_MAX_PAIRS = 1_000_000
+# raw (pre-dedupe) candidate-pair sets below this fit one task's pandas
+# drop_duplicates; larger sets dedupe via the bucketed combine
+_SMALL_PAIRS_MAX = 1_000_000
 # removed-id sets up to this size broadcast as one sorted int64 array
 # (<= 16 MB object); larger sets switch to a distributed anti-join so no
 # single heap ever holds the id set.
@@ -338,6 +341,15 @@ def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
         out = g.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
         return out[["a", "b"]].astype({"a": "int64", "b": "int64"})
 
+    # adaptive cross-band dedupe (same pattern as clustering): below the
+    # bound the whole raw pair set is one task's pandas drop_duplicates
+    # (Dataset-native — one repartition, no sort shuffle, nothing on the
+    # driver); above it, a bucketed combine keyed on `a`
+    raw_pairs = raw_pairs.map_batches(
+        _ensure_pair_schema, batch_format="pyarrow").materialize()
+    if raw_pairs.count() <= _SMALL_PAIRS_MAX:
+        return raw_pairs.repartition(1).map_batches(
+            distinct_pairs, batch_format="pandas")
     return (
         raw_pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .repartition(coalesce_blocks())
@@ -363,6 +375,21 @@ def _all_pairs(sub: pd.DataFrame):
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             yield ids[i], ids[j]
+
+
+# below this many candidate pairs the whole pair set fits a handful of
+# verify batches, so the range sort buys no parquet row-group locality —
+# skip its fixed cost; above it, sorted pairs keep each verify batch's
+# "doc_id in (...)" predicate touching few row groups
+_VERIFY_SORT_MIN_PAIRS = 100_000
+
+
+def _sorted_pair_blocks(pairs: "rd.Dataset", batch_size: int) -> "rd.Dataset":
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n == 0 or n < _VERIFY_SORT_MIN_PAIRS:
+        return pairs
+    return pairs.sort(["a", "b"])
 
 
 def _verify_jaccard_ds(doc_path: str, pairs: "rd.Dataset", shingle_fn,
@@ -393,10 +420,7 @@ def _verify_jaccard_ds(doc_path: str, pairs: "rd.Dataset", shingle_fn,
             dtype=bool, count=len(a))
         return t.filter(pa.array(mask))
 
-    pairs = pairs.materialize()
-    if pairs.count() == 0:
-        return pairs  # an empty Dataset has no schema to sort on
-    return pairs.sort(["a", "b"]).map_batches(
+    return _sorted_pair_blocks(pairs, batch_size).map_batches(
         verify, batch_format="pyarrow", batch_size=batch_size)
 
 
@@ -428,10 +452,7 @@ def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
         sims = np.einsum("ij,ij->i", M[ia], M[ib])
         return t.filter(pa.array(sims >= threshold))
 
-    pairs = pairs.materialize()
-    if pairs.count() == 0:
-        return pairs  # an empty Dataset has no schema to sort on
-    return pairs.sort(["a", "b"]).map_batches(
+    return _sorted_pair_blocks(pairs, batch_size).map_batches(
         verify, batch_format="pyarrow", batch_size=batch_size)
 
 
