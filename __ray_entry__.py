@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lib.dedup_exact,
         "doc_stats": lib.doc_stats,
         "text_char_metrics": lib.text_char_metrics,
+        "value_percentiles_by_type": lib.value_percentiles_by_type,
+        "embedding_norms": lib.embedding_norms,
+        "stratified_sample": lib.stratified_sample,
         "text_quality": _text_quality_query,
         "dedup_minhash": dd.dedup_minhash,
         "dedup_ngram": dd.dedup_ngram,
@@ -229,6 +232,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": lib.DEDUP_EXACT_SQL,
         "doc_stats": lib.DOC_STATS_SQL,
         "text_char_metrics": lib.TEXT_CHAR_METRICS_SQL,
+        "value_percentiles_by_type": lib.VALUE_PERCENTILES_SQL,
+        "embedding_norms": lib.EMBEDDING_NORMS_SQL,
+        "stratified_sample": lib.STRATIFIED_SAMPLE_SQL,
         "knn_cosine": lib.KNN_COSINE_SQL,
         # extract_turns / extract_documents / text_quality /
         # dedup_minhash / dedup_simhash / neardup_embedding:

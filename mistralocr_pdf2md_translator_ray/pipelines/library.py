@@ -939,6 +939,110 @@ def _median_by_histogram_narrowing(ds: "rd.Dataset",
     return out
 
 
+def value_percentiles_by_type(sf_dir: str, num_buckets: int = 8) -> "rd.Dataset":
+    """Exact grouped discrete percentiles (p25/p50/p90) of `value` per
+    event_type. One shuffle bucketed by type, vectorized numpy sort per
+    type. Element selection matches DuckDB's quantile_disc exactly:
+    index = ceil(q*n) - 1 (verified empirically across n in [2,20000] x
+    five quantiles — NOT floor(q*(n-1)), which differs). The same
+    histogram-narrowing fallback as median_value_by_type applies at
+    scale (each percentile is one rank target); this query keeps the
+    one-task path as the SQL-parity surface."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["event_type"].to_numpy(), num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, sub in g.groupby("event_type", sort=False):
+            v = np.sort(sub["value"].to_numpy())
+            n = len(v)
+            pick = lambda q: float(v[int(np.ceil(q * n)) - 1])  # noqa: E731
+            out.append((et, pick(0.25), pick(0.5), pick(0.9), n))
+        r = pd.DataFrame(out, columns=["event_type", "p25", "p50", "p90",
+                                       "n_events"])
+        r["n_events"] = r["n_events"].astype("int64")
+        return r
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       CAST(count(*) AS BIGINT)   AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def embedding_norms(sf_dir: str) -> "rd.Dataset":
+    """Per-vector dims + L2 norm over the embeddings table — the
+    vectorized Arrow->matrix kernel exercised as its own hash-checked
+    query. Parity trap: DuckDB's list_sum is a SEQUENTIAL fold while
+    np.sum uses pairwise summation (different bits past ~1e-16), so the
+    square-sum here is a cumsum (sequential by construction) — the two
+    engines then agree bitwise with no rounding."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    from ..functions.vectors import list_column_to_matrix
+
+    def fn(t: pa.Table) -> pa.Table:
+        M = list_column_to_matrix(t["embedding"]).astype(np.float64)
+        sq = M * M
+        l2 = np.sqrt(sq.cumsum(axis=1)[:, -1])
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "n_dims": pa.array(np.full(t.num_rows, M.shape[1], np.int64)),
+            "l2_norm": pa.array(l2, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       sqrt(list_sum(list_transform(
+           embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           AS l2_norm
+FROM embeddings
+"""
+
+
+def stratified_sample(sf_dir: str) -> "rd.Dataset":
+    """Deterministic stratified sampling for eval/holdout splits: per
+    language stratum, keep a fixed modulus slice of doc_ids (20% of
+    'en', 50% of everything else). Modulus on the stable id — never a
+    RNG — so the sample is reproducible across runs, resumable, and
+    expressible as a pure filter pushed to the scan (no shuffle at any
+    scale)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        mod = df["doc_id"].to_numpy() % 10
+        en = df["lang"].to_numpy() == "en"
+        keep = np.where(en, mod < 2, mod < 5)
+        return df.loc[keep]
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=65536)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE (lang = 'en' AND doc_id % 10 < 2)
+   OR (lang <> 'en' AND doc_id % 10 < 5)
+"""
+
+
 # groups above this many rows leave the one-task-per-group path and go
 # through distributed histogram narrowing (a 100-TB corpus puts tens of
 # billions of rows in one event_type — no task can sort that)
