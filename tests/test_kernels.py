@@ -313,3 +313,78 @@ class TestTurnKernels:
         assert obj["ocr_contents"]["caption"] == "hi"
         out, st = extract_child_payload(b"{broken", "img-9", "figure")
         assert st == "error" and "error" in json.loads(out)
+
+
+class TestFastScannerParity:
+    """The regex tokenizer and the stdlib HTMLParser drive the same
+    block extractor; their outputs must be byte-equal on EVERYTHING —
+    the fast path may bail to the parser but never disagree with it."""
+
+    @staticmethod
+    def _via_parser(html):
+        import mistralocr_pdf2md_translator_ray.functions.html_extract as hx
+
+        if not html or not html.strip():
+            return ""
+        p = hx._Extractor()
+        p.feed(html)
+        p.close()
+        kept = [b for b in p.blocks if hx._keep(b)]
+        out, prev_tag = [], None
+        for b in kept:
+            line = hx._emit(b)
+            if out and not ((b.tag == "li" and prev_tag == "li")
+                            or (b.cells is not None and prev_tag == "tr")):
+                out.append("")
+            out.append(line)
+            prev_tag = "tr" if b.cells is not None else b.tag
+        return "\n".join(out).strip()
+
+    def test_handcrafted_edges(self):
+        from mistralocr_pdf2md_translator_ray.functions import html_to_markdown
+
+        cases = [
+            "<p>self close<br/>line two with enough text to keep here</p>",
+            "<p>quoted gt <a href='x>y'>link text</a> plus padding text to keep</p>",
+            "<p>entity &amp; &lt;tag&gt; &#65; body long enough to keep around</p>",
+            "<!-- comment --><p>after a comment this text is long enough to keep</p>",
+            "<?pi ?><p>after a processing instruction, enough text to keep</p>",
+            "<script>var x = '<p>not content</p>';</script><p>real body text long enough</p>",
+            "<p>unterminated <b attr='oops</p><p>second paragraph long enough to keep</p>",
+            "<p>bogus < lone bracket and sufficient trailing text to keep it</p>",
+            "<P UPPER='case'>uppercase tag with text long enough to keep around</P>",
+            "<p>unquoted selfclose <a b=x/>not really self closed, keep this text</p>",
+            "<td>orphan cell</td><tr><td>a</td><td>b</td></tr>",
+            "text before any tag that is plenty long enough to keep as a block",
+            "<ul><li>item one is long</li><li>item two</li></ul><pre>code</pre>",
+            "<p>trailing open tag and text long enough to keep <a href=",
+            "<p>&notanentity; strange amp usage with text long enough to keep</p>",
+        ]
+        for html in cases:
+            assert html_to_markdown(html) == self._via_parser(html), repr(html)
+
+    def test_random_html_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mistralocr_pdf2md_translator_ray.functions import html_to_markdown
+
+        tags = st.sampled_from(
+            ["p", "div", "li", "h2", "pre", "tr", "td", "a", "b", "nav",
+             "script", "ul", "br"])
+        piece = st.one_of(
+            st.text(max_size=40),
+            tags.map(lambda t: f"<{t}>"),
+            tags.map(lambda t: f"</{t}>"),
+            tags.map(lambda t: f"<{t}/>"),
+            tags.map(lambda t: f"<{t} class='x' data-n=\"1>2\">"),
+            st.sampled_from(["<!-- c -->", "<!doctype html>", "<?php ?>",
+                             "&amp;", "&#65;", "&bogus;", "<", ">", "</",
+                             "<a href=", "'", '"']),
+        )
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(piece, max_size=30).map("".join))
+        def prop(html):
+            assert html_to_markdown(html) == self._via_parser(html)
+
+        prop()
