@@ -5,9 +5,12 @@ extractor (``mistralocr_app.py:225-247`` delegates this to a remote OCR
 model; per BASELINE.json ``north_star`` we substitute a
 Readability/trafilatura-style text-density + link-density heuristic).
 
-Built on the stdlib ``html.parser`` (lxml/selectolax are not available
-in this environment). The parser is lenient, so malformed HTML degrades
-gracefully instead of raising.
+Tokenized by a quote-aware single-regex scanner on the common
+well-formed subset (see ``_fast_feed``), falling back to the stdlib
+``html.parser`` for anything tricky (lxml/selectolax are not available
+in this environment) — both drive the same block extractor, so
+malformed HTML degrades gracefully instead of raising and the two
+paths cannot disagree (differential-tested).
 
 Algorithm
 ---------
@@ -57,7 +60,7 @@ def _collapse_ws(s: str) -> str:
 
 
 class _Block:
-    __slots__ = ("tag", "parts", "link_chars", "boiler", "cells")
+    __slots__ = ("tag", "parts", "link_chars", "boiler", "cells", "text")
 
     def __init__(self, tag: str, boiler: bool):
         self.tag = tag
@@ -65,17 +68,16 @@ class _Block:
         self.link_chars = 0
         self.boiler = boiler
         self.cells: list[str] | None = [] if tag == "tr" else None
-
-    @property
-    def text(self) -> str:
-        return _collapse_ws("".join(self.parts))
+        # collapsed text, computed ONCE at flush time (_keep and _emit
+        # both read it; the old recomputing property tripled the
+        # join+regex work per block)
+        self.text = ""
 
 
 class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
-        self._stack: list[str] = []
         self._boiler_depth = 0
         self._link_depth = 0
         self._cur: _Block | None = None
@@ -99,19 +101,18 @@ class _Extractor(HTMLParser):
             if b.cells:
                 self.blocks.append(b)
             return
+        b.text = _collapse_ws("".join(b.parts))
         if b.text:
             self.blocks.append(b)
 
     # -- HTMLParser hooks ------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
-        self._stack.append(tag)
         if tag in _BOILERPLATE_TAGS:
             self._boiler_depth += 1
         if tag == "a":
             self._link_depth += 1
         if tag == "br":
-            self._stack.pop()
             if self._cur is not None:
                 (self._cell_parts if self._cell_parts is not None
                  else self._cur.parts).append(" ")
@@ -129,11 +130,6 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
-        # pop matching open tag (lenient on malformed nesting)
-        for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i] == tag:
-                del self._stack[i]
-                break
         if tag in _BOILERPLATE_TAGS:
             self._boiler_depth = max(0, self._boiler_depth - 1)
         if tag == "a":

@@ -50,7 +50,8 @@ def normalize_markdown(md: str) -> str:
     in_fence = False
     fence_marker = ""
     i = 0
-    while i < len(lines):
+    n_lines = len(lines)
+    while i < n_lines:
         raw = lines[i]
         line = raw.rstrip()
         if in_fence:
@@ -59,39 +60,51 @@ def normalize_markdown(md: str) -> str:
                 in_fence = False
             i += 1
             continue
-        m = _FENCE.match(line.lstrip())
-        if m:
-            in_fence = True
-            fence_marker = m.group(1)
-            out.append(line)
-            i += 1
-            continue
-        nxt = lines[i + 1].rstrip() if i + 1 < len(lines) else None
-        if line and nxt is not None and _SETEXT_H1.match(nxt):
-            out.append("# " + line.strip())
-            i += 2
-            continue
-        if line and nxt is not None and _SETEXT_H2.match(nxt) and len(nxt) >= 2:
-            out.append("## " + line.strip())
-            i += 2
-            continue
-        m = _ATX.match(line)
-        if m:
-            title = m.group(2)
-            out.append(m.group(1) + (" " + title if title else ""))
-            i += 1
-            continue
-        m = _BULLET.match(line)
-        if m:
-            out.append(f"{m.group(1)}- {m.group(2)}")
-            i += 1
-            continue
-        m = _ORDERED.match(line)
-        if m:
-            out.append(f"{m.group(1)}{m.group(2)}. {m.group(3)}")
-            i += 1
-            continue
-        if line.lstrip().startswith("|") and line.rstrip().endswith("|") and "|" in line.strip("| "):
+        # first-char dispatch: each guard is a necessary condition of
+        # its anchored regex, so behavior is identical — but the common
+        # plain-text line now skips every regex attempt
+        s = line.lstrip()
+        first = s[:1]
+        if first == "`" or first == "~":
+            m = _FENCE.match(s)
+            if m:
+                in_fence = True
+                fence_marker = m.group(1)
+                out.append(line)
+                i += 1
+                continue
+        if line and i + 1 < n_lines:
+            nxt_first = lines[i + 1][:1]
+            if nxt_first == "=" or nxt_first == "-":
+                nxt = lines[i + 1].rstrip()
+                if _SETEXT_H1.match(nxt):
+                    out.append("# " + line.strip())
+                    i += 2
+                    continue
+                if len(nxt) >= 2 and _SETEXT_H2.match(nxt):
+                    out.append("## " + line.strip())
+                    i += 2
+                    continue
+        if line[:1] == "#":
+            m = _ATX.match(line)
+            if m:
+                title = m.group(2)
+                out.append(m.group(1) + (" " + title if title else ""))
+                i += 1
+                continue
+        if first == "*" or first == "+":
+            m = _BULLET.match(line)
+            if m:
+                out.append(f"{m.group(1)}- {m.group(2)}")
+                i += 1
+                continue
+        if first.isdigit():
+            m = _ORDERED.match(line)
+            if m:
+                out.append(f"{m.group(1)}{m.group(2)}. {m.group(3)}")
+                i += 1
+                continue
+        if first == "|" and line.endswith("|") and "|" in line.strip("| "):
             out.append(_norm_table_row(line))
             i += 1
             continue
