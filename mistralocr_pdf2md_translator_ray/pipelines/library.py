@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -1405,6 +1406,56 @@ SELECT doc_id,
        CAST(CASE WHEN length(text) = 0 THEN 0
                  ELSE len(string_split(text, chr(10))) END AS BIGINT) AS n_lines
 FROM documents
+"""
+
+
+_ASCII_TOKEN_RE = re.compile(r"[A-Za-z]+")
+
+
+def top_tokens(sf_dir: str, k: int = 50, num_buckets: int = 32) -> "rd.Dataset":
+    """Corpus vocabulary heavy hitters: the k most frequent ASCII-word
+    tokens across all documents. Per-batch tokenize + value_counts
+    partials -> bucketed combine by token hash with TOP-K PUSHDOWN
+    (a bucket holds every partial for its tokens, so the global top k
+    is a subset of the buckets' local top k) -> tiny global sort over
+    <= k x buckets rows. The token class is explicit ASCII so Python re
+    and DuckDB RE2 agree; (count desc, token asc) is a total order, so
+    the cut row set is deterministic on both sides."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in df["text"]:
+            toks.extend(_ASCII_TOKEN_RE.findall(t))
+        s = pd.Series(toks, dtype="object").value_counts()
+        out = pd.DataFrame({"token": s.index.to_numpy(),
+                            "n": s.to_numpy().astype("int64")})
+        out["b"] = bucket_ids_np(out["token"].to_numpy(), num_buckets)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", as_index=False)["n"].sum()
+        agg["n"] = agg["n"].astype("int64")
+        return agg.sort_values(["n", "token"],
+                               ascending=[False, True]).head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+        .select_columns(["token", "n"])
+    )
+
+
+TOP_TOKENS_SQL = """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
 """
 
 
