@@ -179,20 +179,23 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 # Joins: large-large hash join + broadcast small-side lookup (J1/J2 analog)
 # ---------------------------------------------------------------------------
 
-def revenue_by_nation(sf_dir: str) -> "rd.Dataset":
-    """lineitem |><| orders |><| customer via two bucketed co-group hash
-    joins, with only the truly-tiny nation table (25 rows, fixed
-    cardinality) broadcast.
+def revenue_by_nation(sf_dir: str,
+                      broadcast_customer_max_rows: int = 5_000_000
+                      ) -> "rd.Dataset":
+    """lineitem |><| orders |><| customer with the nation table (25
+    rows, fixed cardinality) always broadcast and the customer join
+    ADAPTIVE on the parquet footer row count.
 
     Scale shape: lineitem pre-aggregates to one (orderkey, revenue)
     partial row per orderkey per batch BEFORE the first join shuffle
     (the exchange moves partials, not line items); the first cogroup
-    resolves orderkey->custkey and RE-aggregates to per-custkey partials
-    inside each bucket, so the second shuffle (against customer — a
-    fact-scaled table that must NOT be broadcast) moves at most one row
-    per custkey per bucket. The second cogroup maps custkey->nationkey
-    and pre-aggregates to per-nation partials; the final groupby
-    touches ~25 x buckets rows.
+    resolves orderkey->custkey and RE-aggregates inside each bucket.
+    When customer fits the broadcast gate (<= ~80 MB of key pairs) the
+    custkey->nationkey lookup happens right there via a sorted-array
+    searchsorted against the ray.put map — ONE shuffle total. Past the
+    gate (customer is fact-scaled at 100 TB and must NOT be broadcast)
+    a second bucketed cogroup joins it distributed, moving at most one
+    row per custkey per bucket. Both paths are equality-tested.
     """
     from ..stages.joins import cogroup
 
@@ -215,6 +218,61 @@ def revenue_by_nation(sf_dir: str) -> "rd.Dataset":
         lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
         batch_format="pandas",
     )
+
+    # Adaptive second join: the parquet FOOTER row count (free, no scan)
+    # gates a broadcast of the custkey->nationkey map — one whole
+    # shuffle saved whenever the customer dimension fits an object-store
+    # broadcast; past the gate, the fully distributed co-group runs
+    # (both paths equality-tested). Same footer-gated pattern as the
+    # extract pipeline's child-map broadcast.
+    import pyarrow.parquet as _pq_meta
+
+    cust_rows = _pq_meta.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    if cust_rows <= broadcast_customer_max_rows:
+        ct = _pq_meta.read_table(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_nationkey"])
+        ck = ct["c_custkey"].to_numpy()
+        order = np.argsort(ck)
+        cust_ref = ray.put((ck[order], ct["c_nationkey"].to_numpy()[order]))
+
+        def merge_orders_bc(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            m = ldf.merge(rdf, on="l_orderkey", how="inner")
+            if m.empty:
+                return pd.DataFrame({"n_nationkey": pd.Series(dtype="int64"),
+                                     "rev": pd.Series(dtype="int64")})
+            keys, nk = ray.get(cust_ref)
+            ckv = m["o_custkey"].to_numpy().astype("int64")
+            pos = np.searchsorted(keys, ckv)
+            m = pd.DataFrame({
+                "n_nationkey": nk[np.minimum(pos, len(keys) - 1)],
+                "rev": m["rev"].to_numpy().astype("int64"),
+                "_hit": (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == ckv),
+            })
+            m = m[m["_hit"]]
+            return m.groupby("n_nationkey", as_index=False).agg(rev=("rev", "sum"))
+
+        per_nation = cogroup(
+            li_agg,
+            orders_k,
+            on=["l_orderkey"],
+            merge_fn=merge_orders_bc,
+            left_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("o_custkey", pa.int64())]),
+            num_buckets=32,
+        )
+        from ray.data.aggregate import Sum
+
+        final = per_nation.groupby("n_nationkey").aggregate(
+            Sum("rev", alias_name="rev"))
+
+        def finish_bc(df: pd.DataFrame) -> pd.DataFrame:
+            n2name = ray.get(nation_ref)
+            return pd.DataFrame({"n_name": df["n_nationkey"].map(n2name),
+                                 "revenue": df["rev"] / 10000.0})
+
+        return final.map_batches(finish_bc, batch_format="pandas")
 
     def merge_orders(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         m = ldf.merge(rdf, on="l_orderkey", how="inner")
@@ -1406,6 +1464,51 @@ SELECT doc_id,
        CAST(CASE WHEN length(text) = 0 THEN 0
                  ELSE len(string_split(text, chr(10))) END AS BIGINT) AS n_lines
 FROM documents
+"""
+
+
+def line_stats(sf_dir: str) -> "rd.Dataset":
+    """Within-document line repetition (a standard pretraining quality
+    filter: high duplicate-line ratios flag templated/boilerplate
+    docs): per doc, total lines, distinct lines, and the duplicate
+    ratio. Pure per-batch map — embarrassingly parallel, no shuffle.
+    Parity notes: ''.split('\\n') == [''] matches DuckDB
+    string_split('', chr(10)); the ratio divides exact int64 counts as
+    float64 in both engines."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_lines, n_distinct = [], []
+        for t in df["text"]:
+            lines = (t or "").split("\n")
+            n_lines.append(len(lines))
+            n_distinct.append(len(set(lines)))
+        n = np.array(n_lines, dtype=np.int64)
+        d = np.array(n_distinct, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_lines": n,
+            "n_distinct_lines": d,
+            "dup_line_ratio": 1.0 - d.astype("float64") / n.astype("float64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=65536)
+
+
+LINE_STATS_SQL = """
+SELECT doc_id,
+       CAST(n_lines AS BIGINT)          AS n_lines,
+       CAST(n_distinct_lines AS BIGINT) AS n_distinct_lines,
+       1.0 - CAST(n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+           AS dup_line_ratio
+FROM (
+    SELECT doc_id,
+           count(*)            AS n_lines,
+           count(DISTINCT line) AS n_distinct_lines
+    FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM documents)
+    GROUP BY doc_id
+)
 """
 
 

@@ -116,3 +116,21 @@ class TestMedianHistogramNarrowing:
         assert (np.diff(keys.astype(np.uint64)) >= 0).all()
         back = np.array([_float_from_ord_key(int(k)) for k in keys])
         assert (back == vals).all()
+
+
+class TestRevenueByNationPaths:
+    def test_cogroup_path_matches_broadcast_path(self, ddb, ray_session):
+        """Force the distributed customer co-group (threshold 0) and
+        compare with the broadcast path and the SQL oracle."""
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            REVENUE_BY_NATION_SQL,
+            revenue_by_nation,
+        )
+
+        bc = _normalize(_to_pandas(revenue_by_nation(SF_DIR)))
+        cg = _normalize(_to_pandas(
+            revenue_by_nation(SF_DIR, broadcast_customer_max_rows=0)))
+        pd.testing.assert_frame_equal(bc, cg, check_dtype=False)
+        exp = _normalize(ddb.sql(REVENUE_BY_NATION_SQL).df())
+        pd.testing.assert_frame_equal(bc, exp, check_dtype=False,
+                                      check_exact=True)
