@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_char_metrics": lib.text_char_metrics,
         "top_tokens": lib.top_tokens,
         "line_stats": lib.line_stats,
+        "knn_cosine_multi": lib.knn_cosine_multi,
         "value_percentiles_by_type": lib.value_percentiles_by_type,
         "embedding_norms": lib.embedding_norms,
         "stratified_sample": lib.stratified_sample,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "text_char_metrics": lib.TEXT_CHAR_METRICS_SQL,
         "top_tokens": lib.TOP_TOKENS_SQL,
         "line_stats": lib.LINE_STATS_SQL,
+        "knn_cosine_multi": lib.KNN_COSINE_MULTI_SQL,
         "value_percentiles_by_type": lib.VALUE_PERCENTILES_SQL,
         "embedding_norms": lib.EMBEDDING_NORMS_SQL,
         "stratified_sample": lib.STRATIFIED_SAMPLE_SQL,

@@ -182,6 +182,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("stratified_sample", lambda: lib.stratified_sample(SF_DIR))
     timed("top_tokens", lambda: lib.top_tokens(SF_DIR))
     timed("line_stats", lambda: lib.line_stats(SF_DIR))
+    timed("knn_cosine_multi", lambda: lib.knn_cosine_multi(SF_DIR))
     timed("top_users_by_events", lambda: lib.top_users_by_events(SF_DIR))
     timed("customer_count_by_region", lambda: lib.customer_count_by_region(SF_DIR))
     timed("top_orders_per_customer", lambda: lib.top_orders_per_customer(SF_DIR))

@@ -242,6 +242,9 @@ def revenue_by_nation(sf_dir: str,
                 return pd.DataFrame({"n_nationkey": pd.Series(dtype="int64"),
                                      "rev": pd.Series(dtype="int64")})
             keys, nk = ray.get(cust_ref)
+            if len(keys) == 0:
+                return pd.DataFrame({"n_nationkey": pd.Series(dtype="int64"),
+                                     "rev": pd.Series(dtype="int64")})
             ckv = m["o_custkey"].to_numpy().astype("int64")
             pos = np.searchsorted(keys, ckv)
             m = pd.DataFrame({
@@ -1806,6 +1809,82 @@ def knn_cosine(sf_dir: str, k: int = 10) -> "rd.Dataset":
         .limit(k)
         .select_columns(["vec_id", "score"])
     )
+
+
+def knn_cosine_multi(sf_dir: str, k: int = 10, n_queries: int = 8) -> "rd.Dataset":
+    """Batched-query brute-force ANN: top-k cosine neighbors for EACH of
+    the first ``n_queries`` vectors in ONE corpus pass — the realistic
+    serving shape (numpy matmul per batch against a broadcast query
+    MATRIX, per-(batch, query) top-k prune, tiny per-query final
+    head). The corpus streams once no matter how many queries ride the
+    broadcast."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qids = qt["vec_id"].to_numpy().astype("int64")
+    order = np.argsort(qids)
+    qids = qids[order]
+    Q = list_column_to_matrix(qt["embedding"])[order].astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, Q))
+
+    def score(t: pa.Table) -> pa.Table:
+        qi, Qm = ray.get(q_ref)
+        ids = t["vec_id"].to_numpy().astype("int64")
+        M = list_column_to_matrix(t["embedding"])
+        sims = (M @ Qm.T) / np.linalg.norm(M, axis=1)[:, None]
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qi):
+            s = sims[:, j]
+            mask = ids != qid
+            v, sj = ids[mask], s[mask]
+            if len(v) > k:
+                idx = np.argpartition(-sj, k)[:k]
+                v, sj = v[idx], sj[idx]
+            out_q.append(np.full(len(v), qid, np.int64))
+            out_v.append(v)
+            out_s.append(sj)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score_raw": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    def per_query_head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_raw", "vec_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].astype("int64"),
+            "vec_id": g["vec_id"].astype("int64"),
+            "score": np.round(g["score_raw"].to_numpy(), 3),
+        })
+
+    # n_queries groups total (tiny) - per-group map_groups is fine here
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+        .groupby("query_id")
+        .map_groups(per_query_head, batch_format="pandas")
+    )
+
+
+KNN_COSINE_MULTI_SQL = """
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       round(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                  AS DOUBLE), 3) AS score
+FROM embeddings e
+JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+  ON e.vec_id <> q.vec_id
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+             e.vec_id) <= 10
+"""
 
 
 KNN_COSINE_SQL = """
