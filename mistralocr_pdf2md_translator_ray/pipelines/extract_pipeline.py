@@ -194,7 +194,10 @@ def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict):
     )
 
 
-from ..stages.assemble import assemble_conversations
+from ..stages.assemble import (
+    assemble_conversations,
+    assemble_conversations_adaptive,
+)
 
 def _pools() -> tuple[dict, dict, dict]:
     """Actor-pool sizing scaled to the cluster.
@@ -377,10 +380,17 @@ def extract_documents(
     (conv_id, n_turns, doc_md), turn order restored inside groups.
     With ``emit_original`` both variants assemble in one pass
     (doc_md + doc_md_original — the reference's dual
-    original/translated outputs, mistralocr_app.py:714-717)."""
-    return assemble_conversations(
-        extract_turns(transcripts, payloads, payloads_path=payloads_path,
-                      emit_original=emit_original),
-        salt_span=salt_span,
-        include_original=emit_original,
-    )
+    original/translated outputs, mistralocr_app.py:714-717).
+
+    Assembly is ADAPTIVE: only conversations past the hot threshold get
+    the two-phase salted path; everything else takes the single-phase
+    groupby (always-salting measured 2.7x the single-phase when no
+    group outgrows a task — see stages/assemble.py). ``salt_span=None``
+    forces single-phase for every conversation."""
+    turns = extract_turns(transcripts, payloads, payloads_path=payloads_path,
+                          emit_original=emit_original)
+    if salt_span is None:
+        return assemble_conversations(turns, salt_span=None,
+                                      include_original=emit_original)
+    return assemble_conversations_adaptive(
+        turns, salt_span=salt_span, include_original=emit_original)

@@ -166,7 +166,8 @@ def assemble_conversations_sorted(per_turn_ds):
 def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
                                     salt_span: int = 256,
                                     num_buckets: int = 64,
-                                    reusable_input: bool = False):
+                                    reusable_input: bool = False,
+                                    include_original: bool = False):
     """Adaptive salting: salt ONLY conversations longer than
     ``hot_threshold`` turns; everything else takes the cheap
     single-phase path. Always-salting costs a second full-volume
@@ -188,7 +189,10 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
     if not reusable_input:
         per_turn_ds = per_turn_ds.materialize()
 
-    per_turn_ds = per_turn_ds.select_columns(["conv_id", "turn_idx", "ts", "md"])
+    cols = ["conv_id", "turn_idx", "ts", "md"]
+    if include_original:
+        cols.append("md_original")
+    per_turn_ds = per_turn_ds.select_columns(cols)
 
     counts_partial = per_turn_ds.select_columns(["conv_id"]).map_batches(
         lambda df: df.groupby("conv_id", as_index=False).agg(
@@ -204,7 +208,8 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
     hot = {r["conv_id"] for r in hot_only.take_all()}
     if not hot:
         return assemble_conversations(per_turn_ds, salt_span=None,
-                                      num_buckets=num_buckets)
+                                      num_buckets=num_buckets,
+                                      include_original=include_original)
     hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     def split(t: pa.Table, want_hot: bool) -> pa.Table:
@@ -215,9 +220,12 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
 
     cold = per_turn_ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
     hot_rows = per_turn_ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
-    cold_docs = assemble_conversations(cold, salt_span=None, num_buckets=num_buckets)
+    cold_docs = assemble_conversations(cold, salt_span=None,
+                                       num_buckets=num_buckets,
+                                       include_original=include_original)
     hot_docs = assemble_conversations(hot_rows, salt_span=salt_span,
-                                      num_buckets=max(8, num_buckets // 4))
+                                      num_buckets=max(8, num_buckets // 4),
+                                      include_original=include_original)
     return cold_docs.union(hot_docs)
 
 
