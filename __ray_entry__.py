@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": lib.distinct_segments,
         "customers_with_orders": lib.customers_with_orders,
         "customers_without_orders": lib.customers_without_orders,
+        "customer_order_counts": lib.customer_order_counts,
         # events: agg, JSON scalar, sessionize, window, as-of join
         "events_by_type": lib.events_by_type,
         "events_json_k": lib.events_json_k,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_segments": lib.DISTINCT_SEGMENTS_SQL,
         "customers_with_orders": lib.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": lib.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "customer_order_counts": lib.CUSTOMER_ORDER_COUNTS_SQL,
         "events_by_type": lib.EVENTS_BY_TYPE_SQL,
         "events_json_k": lib.EVENTS_JSON_K_SQL,
         "sessionize_events": lib.SESSIONIZE_SQL,

@@ -499,6 +499,63 @@ def customers_without_orders(sf_dir: str) -> "rd.Dataset":
     return _semi_anti_custkeys(cust, keys, anti=True)
 
 
+def customer_order_counts(sf_dir: str) -> "rd.Dataset":
+    """LEFT OUTER grouped join: every customer with their order count
+    and total spend — customers WITHOUT orders appear with (0, 0.0),
+    the outer-fill semantics a pure inner co-group cannot express.
+    Shape: orders pre-aggregates to per-custkey partials per batch, the
+    bucketed co-group left-merges onto the customer keys and fills the
+    misses vectorized; exact integer cents keep the float sum
+    hash-exact (see module docstring)."""
+    from ..stages.joins import cogroup
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+        out = pd.DataFrame({"c_custkey": df["o_custkey"], "cents": cents})
+        return out.groupby("c_custkey", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+
+    o_agg = orders.map_batches(partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def left_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # ldf: customer keys; rdf: per-custkey partials (possibly several
+        # per key). Re-aggregate, then LEFT merge and fill the misses.
+        agg = rdf.groupby("c_custkey", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        m = ldf[["c_custkey"]].drop_duplicates().merge(
+            agg, on="c_custkey", how="left")
+        m = m.fillna({"n": 0, "cents": 0})
+        return pd.DataFrame({
+            "c_custkey": m["c_custkey"].astype("int64"),
+            "n_orders": m["n"].astype("int64"),
+            "total_spent": m["cents"].astype("int64") / 100.0,
+        })
+
+    return cogroup(
+        cust,
+        o_agg,
+        on=["c_custkey"],
+        merge_fn=left_merge,
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("n", pa.int64()), ("cents", pa.int64())]),
+    )
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey AS c_custkey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)),
+                     0) AS BIGINT) / 100.0 AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
