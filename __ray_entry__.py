@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": lib.customers_with_orders,
         "customers_without_orders": lib.customers_without_orders,
         "customer_order_counts": lib.customer_order_counts,
+        "order_rank_in_customer": lib.order_rank_in_customer,
+        "event_type_pivot": lib.event_type_pivot,
         # events: agg, JSON scalar, sessionize, window, as-of join
         "events_by_type": lib.events_by_type,
         "events_json_k": lib.events_json_k,
@@ -216,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": lib.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": lib.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customer_order_counts": lib.CUSTOMER_ORDER_COUNTS_SQL,
+        "order_rank_in_customer": lib.ORDER_RANK_SQL,
+        "event_type_pivot": lib.EVENT_TYPE_PIVOT_SQL,
         "events_by_type": lib.EVENTS_BY_TYPE_SQL,
         "events_json_k": lib.EVENTS_JSON_K_SQL,
         "sessionize_events": lib.SESSIONIZE_SQL,

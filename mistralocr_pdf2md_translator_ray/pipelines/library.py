@@ -546,6 +546,96 @@ def customer_order_counts(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def order_rank_in_customer(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
+    """RANKING window function: each order's dense position within its
+    customer by totalprice (deterministic orderkey tiebreak) — the
+    row_number() OVER (PARTITION BY ... ORDER BY ...) shape. Bucketed
+    by customer hash; inside a bucket one vectorized sort + cumcount,
+    never a per-customer UDF call."""
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["o_custkey"].to_numpy(), num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        rnk = g.groupby("o_custkey", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "rnk": rnk.astype("int64"),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+ORDER_RANK_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+FROM orders
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
+    """PIVOT / conditional aggregation: per user, one column per event
+    type (count) plus the total — the count(*) FILTER (WHERE ...) shape.
+    Per-batch crosstab partials (groupby size unstacked over the fixed
+    type vocabulary) -> bucketed vectorized sum combine; the shuffle
+    moves one partial row per (user, batch), never events."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = (df.groupby(["user_id", "event_type"]).size()
+              .unstack(fill_value=0)
+              .reindex(columns=list(_EVENT_TYPES), fill_value=0)
+              .reset_index())
+        out = pd.DataFrame({"user_id": ct["user_id"].astype("int64")})
+        for et in _EVENT_TYPES:
+            out[f"n_{et}"] = ct[et].astype("int64")
+        out["b"] = bucket_ids_np(out["user_id"].to_numpy(), num_buckets)
+        return out
+
+    cols = [f"n_{et}" for et in _EVENT_TYPES]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False)[cols].sum()
+        out = pd.DataFrame({"user_id": agg["user_id"].astype("int64")})
+        for c in cols:
+            out[c] = agg[c].astype("int64")
+        out["n_total"] = agg[cols].sum(axis=1).astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) AS BIGINT)                                        AS n_total
+FROM events GROUP BY user_id
+"""
+
+
 CUSTOMER_ORDER_COUNTS_SQL = """
 SELECT c.c_custkey AS c_custkey,
        CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
