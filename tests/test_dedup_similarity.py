@@ -425,3 +425,49 @@ class TestCodecProbe:
         resized = ImageResizeActor(width=4, height=4, fake=False)._resize(png)
         img = PIL_Image.open(io.BytesIO(resized))
         assert img.size == (4, 4)
+
+
+class TestAdaptiveBranches:
+    """Force the past-the-gate paths (distributed anti-join removal,
+    range-sorted verify) and the non-convergence warning — at test
+    scale these would otherwise never run."""
+
+    def test_antijoin_removal_matches_broadcast(self, dup_dir, ray_session,
+                                                monkeypatch):
+        from mistralocr_pdf2md_translator_ray.stages import dedup as dd
+
+        baseline = sorted(r["doc_id"] for r in dd.dedup_minhash(dup_dir).take_all())
+        monkeypatch.setattr(dd, "_BROADCAST_REMOVED_MAX", 0)
+        got = sorted(r["doc_id"] for r in dd.dedup_minhash(dup_dir).take_all())
+        assert got == baseline == [0, 3, 4]
+
+    def test_forced_verify_sort_matches(self, dup_dir, ray_session,
+                                        monkeypatch):
+        from mistralocr_pdf2md_translator_ray.stages import dedup as dd
+
+        baseline = sorted(r["doc_id"] for r in dd.dedup_minhash(dup_dir).take_all())
+        monkeypatch.setattr(dd, "_VERIFY_SORT_MIN_PAIRS", 0)
+        got = sorted(r["doc_id"] for r in dd.dedup_minhash(dup_dir).take_all())
+        assert got == baseline
+
+    def test_forced_bucketed_pair_dedupe_matches(self, dup_dir, ray_session,
+                                                 monkeypatch):
+        from mistralocr_pdf2md_translator_ray.stages import dedup as dd
+
+        baseline = sorted(r["doc_id"] for r in dd.dedup_minhash(dup_dir).take_all())
+        monkeypatch.setattr(dd, "_SMALL_PAIRS_MAX", 0)
+        got = sorted(r["doc_id"] for r in dd.dedup_minhash(dup_dir).take_all())
+        assert got == baseline
+
+    def test_label_propagation_warns_on_non_convergence(self, ray_session):
+        import warnings
+
+        from mistralocr_pdf2md_translator_ray.stages.dedup import (
+            _removed_by_label_propagation,
+        )
+
+        chain = [(i, i + 1) for i in range(6)]  # diameter > 1 round
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            _removed_by_label_propagation(chain, num_buckets=2, max_iters=1)
+        assert any("fixpoint" in str(w.message) for w in caught)
