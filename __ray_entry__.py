@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": lib.customer_order_counts,
         "order_rank_in_customer": lib.order_rank_in_customer,
         "event_type_pivot": lib.event_type_pivot,
+        "revenue_rollup": lib.revenue_rollup,
         # events: agg, JSON scalar, sessionize, window, as-of join
         "events_by_type": lib.events_by_type,
         "events_json_k": lib.events_json_k,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": lib.CUSTOMER_ORDER_COUNTS_SQL,
         "order_rank_in_customer": lib.ORDER_RANK_SQL,
         "event_type_pivot": lib.EVENT_TYPE_PIVOT_SQL,
+        "revenue_rollup": lib.REVENUE_ROLLUP_SQL,
         "events_by_type": lib.EVENTS_BY_TYPE_SQL,
         "events_json_k": lib.EVENTS_JSON_K_SQL,
         "sessionize_events": lib.SESSIONIZE_SQL,

@@ -190,6 +190,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("customer_order_counts", lambda: lib.customer_order_counts(SF_DIR))
     timed("order_rank_in_customer", lambda: lib.order_rank_in_customer(SF_DIR))
     timed("event_type_pivot", lambda: lib.event_type_pivot(SF_DIR))
+    timed("revenue_rollup", lambda: lib.revenue_rollup(SF_DIR))
     timed("dedup_ngram", lambda: dd.dedup_ngram(SF_DIR))
     timed("dedup_simhash", lambda: dd.dedup_simhash(SF_DIR))
     timed("neardup_embedding", lambda: dd.neardup_embedding(SF_DIR))

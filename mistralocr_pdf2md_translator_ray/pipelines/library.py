@@ -576,6 +576,62 @@ def order_rank_in_customer(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
     )
 
 
+def revenue_rollup(sf_dir: str) -> "rd.Dataset":
+    """GROUPING SETS / ROLLUP: order counts + exact-cent totals at
+    three levels — (status, priority), (status), and grand total —
+    with NULL keys for rolled-up levels, matching SQL ROLLUP output.
+    Per-batch partials pre-reduce to the tiny (status x priority) grid
+    before any movement; the three levels derive from the finest level
+    in one single-block pass (15 rows), so nothing re-scans."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+        g = pd.DataFrame({"o_orderstatus": df["o_orderstatus"],
+                          "o_orderpriority": df["o_orderpriority"],
+                          "cents": cents})
+        return g.groupby(["o_orderstatus", "o_orderpriority"],
+                         as_index=False).agg(n=("cents", "size"),
+                                             cents=("cents", "sum"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.groupby(["o_orderstatus", "o_orderpriority"],
+                          as_index=False).agg(n=("n", "sum"),
+                                              cents=("cents", "sum"))
+        lvl1 = base.groupby("o_orderstatus", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        lvl1["o_orderpriority"] = None
+        total = pd.DataFrame({
+            "o_orderstatus": [None], "o_orderpriority": [None],
+            "n": [int(base["n"].sum())], "cents": [int(base["cents"].sum())],
+        })
+        out = pd.concat([base, lvl1, total], ignore_index=True)
+        return pd.DataFrame({
+            "o_orderstatus": out["o_orderstatus"].astype("object"),
+            "o_orderpriority": out["o_orderpriority"].astype("object"),
+            "n_orders": out["n"].astype("int64"),
+            "total_price": out["cents"].astype("int64") / 100.0,
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        # partial rows = batches x <=15 grid cells: one block finishes
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / 100.0 AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
 ORDER_RANK_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(row_number() OVER (
