@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_in_customer": lib.order_rank_in_customer,
         "event_type_pivot": lib.event_type_pivot,
         "revenue_rollup": lib.revenue_rollup,
+        "distinct_users_by_type": lib.distinct_users_by_type,
+        "segment_revenue_bloom": lib.segment_revenue_bloom,
         # events: agg, JSON scalar, sessionize, window, as-of join
         "events_by_type": lib.events_by_type,
         "events_json_k": lib.events_json_k,
@@ -222,6 +224,8 @@ def oracle_sql() -> dict[str, str]:
         "order_rank_in_customer": lib.ORDER_RANK_SQL,
         "event_type_pivot": lib.EVENT_TYPE_PIVOT_SQL,
         "revenue_rollup": lib.REVENUE_ROLLUP_SQL,
+        "distinct_users_by_type": lib.DISTINCT_USERS_BY_TYPE_SQL,
+        "segment_revenue_bloom": lib.SEGMENT_REVENUE_BLOOM_SQL,
         "events_by_type": lib.EVENTS_BY_TYPE_SQL,
         "events_json_k": lib.EVENTS_JSON_K_SQL,
         "sessionize_events": lib.SESSIONIZE_SQL,

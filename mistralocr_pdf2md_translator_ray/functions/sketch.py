@@ -58,3 +58,52 @@ def hll_estimate(reg: np.ndarray) -> float:
     if raw <= 2.5 * M and zeros > 0:
         return M * np.log(M / zeros)  # linear counting small-range fix
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership sketch for semi-join pushdown.
+# Build over the SMALL side's keys (per-block bitmaps OR-merge), then
+# prefilter the fact side per batch before the exact join — false
+# positives only cost exact-join work, never correctness; false
+# negatives cannot occur by construction.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 21   # 2 MiB bitmap -> <1% FP at ~1M keys with k=7
+BLOOM_K = 7
+
+
+def _bloom_bit_positions(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit indices via double hashing h1 + i*h2."""
+    h1 = hash64(keys)
+    h2 = hash64(keys.astype(np.uint64) ^ np.uint64(0xA076_1D64_78BD_642F)) \
+        | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_partial(keys: np.ndarray, n_bits: int = BLOOM_BITS,
+                  k: int = BLOOM_K) -> np.ndarray:
+    """int64 keys -> packed uint8 bitmap (n_bits/8 bytes)."""
+    bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+    if len(keys) == 0:
+        return bitmap
+    pos = _bloom_bit_positions(np.asarray(keys, dtype=np.int64),
+                               n_bits, k).ravel()
+    np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bitmap
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a | b
+
+
+def bloom_contains(bitmap: np.ndarray, keys: np.ndarray,
+                   n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership probe -> bool ndarray (no false negatives)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_bit_positions(np.asarray(keys, dtype=np.int64), n_bits, k)
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)

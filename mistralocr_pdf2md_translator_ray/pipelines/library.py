@@ -622,6 +622,150 @@ def revenue_rollup(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def distinct_users_by_type(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
+    """Exact grouped COUNT(DISTINCT): distinct users per event_type.
+    Per-batch distinct (type, user) pairs -> bucketed by user hash so
+    every copy of a pair lands in one bucket -> per-bucket distinct ->
+    vectorized partial counts -> tiny final combine. The shuffle moves
+    per-batch distinct pairs, never events; no single task holds a
+    type's full user set (users spread across buckets)."""
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["event_type", "user_id"]).copy()
+        out["b"] = bucket_ids_np(out["user_id"].to_numpy(), num_buckets)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).agg(
+            n=("user_id", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False)["n"].sum()
+        return pd.DataFrame({"event_type": out["event_type"],
+                             "n_users": out["n"].astype("int64")})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+        # <= types x buckets partial rows: one block finishes
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def segment_revenue_bloom(sf_dir: str,
+                          segment: str = "BUILDING") -> "rd.Dataset":
+    """Bloom-accelerated semi-join aggregate: total order spend of one
+    customer segment. The segment's custkeys build a mergeable Bloom
+    bitmap (per-block partials OR-merged in a tiny tree); the orders
+    scan probes the broadcast bitmap per batch and drops most
+    non-members BEFORE the exchange; the survivors (members + rare
+    false positives) go through the exact bucketed co-group, so the
+    result is EXACT — the bloom only prunes shuffle volume (no false
+    negatives by construction, functions/sketch.py). This is the
+    standard runtime-filter pushdown shape for large-large semi-joins
+    at 100 TB."""
+    from ..functions.sketch import bloom_contains, bloom_merge, bloom_partial
+    from ..stages.joins import cogroup
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    seg_keys = cust.map_batches(
+        lambda df, _s=segment: df.loc[df["c_mktsegment"] == _s,
+                                      ["c_custkey"]].drop_duplicates(),
+        batch_format="pandas", batch_size=65536)
+
+    def to_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        bm = bloom_partial(df["c_custkey"].to_numpy())
+        return pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    def merge_bitmaps(df: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for blob in df["bitmap"]:
+            bm = np.frombuffer(blob, dtype=np.uint8)
+            acc = bm if acc is None else bloom_merge(acc, bm)
+        if acc is None:
+            return pd.DataFrame({"bitmap": pd.Series(dtype="object")})
+        return pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    parts = (
+        seg_keys.map_batches(to_bitmap, batch_format="pandas")
+        .repartition(8)
+        .map_batches(merge_bitmaps, batch_format="pandas")
+        .take_all()
+    )  # <= 8 rows of 256 KiB bitmaps reach the driver
+    final_bm = None
+    for row in parts:
+        bm = np.frombuffer(row["bitmap"], dtype=np.uint8)
+        final_bm = bm if final_bm is None else bloom_merge(final_bm, bm)
+    bm_ref = ray.put(final_bm)
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(bm_ref)
+        keep = (bloom_contains(bm, df["o_custkey"].to_numpy())
+                if bm is not None
+                else np.zeros(len(df), dtype=bool))
+        kept = df.loc[keep]
+        cents = np.floor(kept["o_totalprice"] * 100 + 0.5).astype("int64")
+        out = pd.DataFrame({"c_custkey": kept["o_custkey"], "cents": cents})
+        return out.groupby("c_custkey", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+
+    candidates = orders.map_batches(prefilter, batch_format="pandas",
+                                    batch_size=65536)
+
+    def exact_verify(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # inner merge removes the bloom's false positives exactly
+        m = ldf.merge(rdf[["c_custkey"]].drop_duplicates(), on="c_custkey",
+                      how="inner")
+        if m.empty:
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "cents": pd.Series(dtype="int64")})
+        return pd.DataFrame({"n": [int(m["n"].astype("int64").sum())],
+                             "cents": [int(m["cents"].astype("int64").sum())]})
+
+    verified = cogroup(
+        candidates,
+        seg_keys,
+        on=["c_custkey"],
+        merge_fn=exact_verify,
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("n", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": [segment],
+            "n_orders": pd.array([int(df["n"].sum())], dtype="int64"),
+            "total_spent": [int(df["cents"].sum()) / 100.0],
+        })
+
+    return verified.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+SEGMENT_REVENUE_BLOOM_SQL = """
+SELECT 'BUILDING' AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / 100.0 AS total_spent
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+DISTINCT_USERS_BY_TYPE_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 REVENUE_ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -50,3 +50,36 @@ class TestHLLPipeline:
             f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
         ).fetchone()[0]
         assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+class TestBloom:
+    def test_no_false_negatives_property(self):
+        import numpy as np
+
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            bloom_contains,
+            bloom_merge,
+            bloom_partial,
+        )
+
+        rng = np.random.default_rng(5)
+        keys = rng.integers(0, 1 << 62, size=20000, dtype=np.int64)
+        half = len(keys) // 2
+        bm = bloom_merge(bloom_partial(keys[:half]), bloom_partial(keys[half:]))
+        assert bloom_contains(bm, keys).all()  # NEVER a false negative
+
+    def test_false_positive_rate_bounded(self):
+        import numpy as np
+
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            bloom_contains,
+            bloom_partial,
+        )
+
+        rng = np.random.default_rng(9)
+        members = rng.integers(0, 1 << 62, size=100_000, dtype=np.int64)
+        bm = bloom_partial(members)
+        probes = rng.integers(0, 1 << 62, size=50_000, dtype=np.int64)
+        outside = probes[~np.isin(probes, members)]
+        fp = bloom_contains(bm, outside).mean()
+        assert fp < 0.01, fp  # 2MiB/k=7 at 100k keys: expect ~0
