@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": lib.asof_purchase_click,
         "clicks_before_purchase": lib.clicks_before_purchase,
         "approx_distinct_users": lib.approx_distinct_users,
+        "approx_value_quantiles": lib.approx_value_quantiles,
         "median_value_by_type": lib.median_value_by_type,
         "top_users_by_events": lib.top_users_by_events,
         "customer_count_by_region": lib.customer_count_by_region,

@@ -172,6 +172,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("rolling_avg_value", lambda: lib.rolling_avg_value(SF_DIR))
     timed("running_user_value", lambda: lib.running_user_value(SF_DIR))
     timed("approx_distinct_users", lambda: lib.approx_distinct_users(SF_DIR))
+    timed("approx_value_quantiles", lambda: lib.approx_value_quantiles(SF_DIR))
     timed("median_value_by_type", lambda: lib.median_value_by_type(SF_DIR))
     timed("median_histogram_path",
           lambda: lib.median_value_by_type(SF_DIR, one_task_max_rows=0))

@@ -107,3 +107,86 @@ def bloom_contains(bitmap: np.ndarray, keys: np.ndarray,
     pos = _bloom_bit_positions(np.asarray(keys, dtype=np.int64), n_bits, k)
     bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return bits.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Merging t-digest: mergeable approximate-quantile sketch. The exact
+# distributed path (histogram narrowing, pipelines/library.py) costs a
+# scan per round; a digest answers ANY quantile from one pass at
+# bounded size. Centroids are (mean, weight) pairs; compression caps
+# each centroid's weight share by the scale function
+# k(q) = delta/(2*pi) * asin(2q-1), which keeps extreme quantiles
+# sharp. Deterministic: no RNG anywhere — merging concatenates sorted
+# centroid lists and re-compresses.
+# ---------------------------------------------------------------------------
+
+TDIGEST_DELTA = 200
+
+
+def _k_scale(q: np.ndarray, delta: int) -> np.ndarray:
+    return delta / (2.0 * np.pi) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+
+
+def _compress(means: np.ndarray, weights: np.ndarray,
+              delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (means, weights) -> merged centroid list obeying the
+    k-scale size bound."""
+    if len(means) == 0:
+        return means, weights
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_before = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q0 = w_before / total
+        q2 = (w_before + cur_w + w) / total
+        if _k_scale(np.array([q2]), delta)[0] - _k_scale(np.array([q0]), delta)[0] <= 1.0:
+            # merge into the current centroid (weighted mean)
+            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + float(w))
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m, dtype=np.float64), np.array(out_w, dtype=np.float64)
+
+
+def tdigest_build(values: np.ndarray,
+                  delta: int = TDIGEST_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    """Values -> digest (means, weights)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    return _compress(v, np.ones(len(v), dtype=np.float64), delta)
+
+
+def tdigest_merge(a: tuple[np.ndarray, np.ndarray],
+                  b: tuple[np.ndarray, np.ndarray],
+                  delta: int = TDIGEST_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    means = np.concatenate([a[0], b[0]])
+    weights = np.concatenate([a[1], b[1]])
+    order = np.argsort(means, kind="mergesort")
+    return _compress(means[order], weights[order], delta)
+
+
+def tdigest_quantile(digest: tuple[np.ndarray, np.ndarray], q: float) -> float:
+    """Quantile estimate by linear interpolation between centroid
+    midpoints (standard t-digest interpolation)."""
+    means, weights = digest
+    if len(means) == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    total = weights.sum()
+    target = q * total
+    # cumulative weight at each centroid's MIDPOINT
+    cum = np.cumsum(weights) - weights / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(cum, target) - 1)
+    frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+    return float(means[i] + frac * (means[i + 1] - means[i]))

@@ -750,6 +750,76 @@ def segment_revenue_bloom(sf_dir: str,
     return verified.repartition(1).map_batches(finish, batch_format="pandas")
 
 
+def _pack_digest(d) -> bytes:
+    m, w = d
+    return np.concatenate([np.array([len(m)], dtype=np.float64), m, w]).tobytes()
+
+
+def _unpack_digest(blob: bytes):
+    a = np.frombuffer(blob, dtype=np.float64)
+    n = int(a[0])
+    return a[1:1 + n].copy(), a[1 + n:1 + 2 * n].copy()
+
+
+def approx_value_quantiles(sf_dir: str,
+                           quantiles=(0.5, 0.9, 0.99)) -> "rd.Dataset":
+    """Approximate grouped quantiles via mergeable t-digests: ONE pass
+    over events builds a bounded-size digest per (batch, type); digests
+    tree-merge (per-bucket then final) and every requested quantile
+    reads off the final ~200-centroid digest — unlike the exact
+    histogram-narrowing median, no second scan ever happens, which is
+    the right trade at 100 TB when ~1% rank error is acceptable
+    (rank-error bound pytest-asserted in tests/test_sketch.py).
+    Approximate by construction -> rows-only driver check."""
+    from ..functions.sketch import tdigest_build, tdigest_merge, tdigest_quantile
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        types, blobs = [], []
+        for et, sub in df.groupby("event_type", sort=False):
+            types.append(et)
+            blobs.append(_pack_digest(tdigest_build(sub["value"].to_numpy())))
+        out = pd.DataFrame({"event_type": pd.array(types, dtype="object"),
+                            "digest": pd.array(blobs, dtype="object")})
+        out["b"] = bucket_ids_np(out["event_type"].to_numpy(), 8)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        types, blobs = [], []
+        for et, sub in g.groupby("event_type", sort=False):
+            acc = None
+            for blob in sub["digest"]:
+                d = _unpack_digest(blob)
+                acc = d if acc is None else tdigest_merge(acc, d)
+            types.append(et)
+            blobs.append(_pack_digest(acc))
+        return pd.DataFrame({"event_type": pd.array(types, dtype="object"),
+                             "digest": pd.array(blobs, dtype="object")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type", sort=False):
+            acc = None
+            for blob in sub["digest"]:
+                d = _unpack_digest(blob)
+                acc = d if acc is None else tdigest_merge(acc, d)
+            rows.append((et,) + tuple(
+                round(tdigest_quantile(acc, q), 6) for q in quantiles))
+        cols = ["event_type"] + [f"p{int(q * 100)}" for q in quantiles]
+        out = pd.DataFrame(rows, columns=cols).sort_values("event_type")
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(merge_bucket, batch_format="pandas")
+        # <= types x buckets digest rows (~KBs): one block finishes
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
 SEGMENT_REVENUE_BLOOM_SQL = """
 SELECT 'BUILDING' AS c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_orders,

@@ -83,3 +83,92 @@ class TestBloom:
         outside = probes[~np.isin(probes, members)]
         fp = bloom_contains(bm, outside).mean()
         assert fp < 0.01, fp  # 2MiB/k=7 at 100k keys: expect ~0
+
+
+class TestTDigest:
+    def test_rank_error_bounded_across_distributions(self):
+        import numpy as np
+
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            tdigest_build,
+            tdigest_merge,
+            tdigest_quantile,
+        )
+
+        rng = np.random.default_rng(17)
+        dists = {
+            "uniform": rng.uniform(0, 1000, 400_000),
+            "lognormal": rng.lognormal(3, 2, 400_000),
+            "bimodal": np.concatenate([rng.normal(10, 1, 200_000),
+                                       rng.normal(500, 30, 200_000)]),
+        }
+        for name, vals in dists.items():
+            # build from 64k-value batches, tree-merge (the pipeline shape)
+            digests = [tdigest_build(vals[i:i + 65536])
+                       for i in range(0, len(vals), 65536)]
+            d = digests[0]
+            for nxt in digests[1:]:
+                d = tdigest_merge(d, nxt)
+            srt = np.sort(vals)
+            for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+                est = tdigest_quantile(d, q)
+                # measure RANK error: where does the estimate land?
+                rank = np.searchsorted(srt, est) / len(srt)
+                assert abs(rank - q) < 0.01, (name, q, rank)
+
+    def test_merge_associativity_tolerance(self):
+        import numpy as np
+
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            tdigest_build,
+            tdigest_merge,
+            tdigest_quantile,
+        )
+
+        rng = np.random.default_rng(3)
+        a, b, c = (rng.normal(0, 1, 50_000) for _ in range(3))
+        d1 = tdigest_merge(tdigest_merge(tdigest_build(a), tdigest_build(b)),
+                           tdigest_build(c))
+        d2 = tdigest_merge(tdigest_build(a),
+                           tdigest_merge(tdigest_build(b), tdigest_build(c)))
+        for q in (0.1, 0.5, 0.9):
+            assert abs(tdigest_quantile(d1, q) - tdigest_quantile(d2, q)) < 0.05
+
+    def test_digest_size_bounded(self):
+        import numpy as np
+
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            TDIGEST_DELTA,
+            tdigest_build,
+        )
+
+        means, weights = tdigest_build(np.random.default_rng(0).uniform(0, 1, 300_000))
+        assert len(means) <= 2 * TDIGEST_DELTA  # bounded regardless of n
+
+
+class TestApproxValueQuantiles:
+    def test_pipeline_close_to_exact(self, ray_session):
+        """The distributed t-digest query's p50 must land within 1%
+        RANK of the exact grouped median on real testdata."""
+        import duckdb
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            approx_value_quantiles,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = approx_value_quantiles(sf).to_pandas().set_index("event_type")
+        con = duckdb.connect()
+        exact = con.sql(
+            f"SELECT event_type, quantile_disc(value, 0.5) AS p50, "
+            f"count(*) AS n FROM '{sf}/events.parquet' GROUP BY event_type"
+        ).df().set_index("event_type")
+        for et in exact.index:
+            est = got.loc[et, "p50"]
+            # rank of the estimate among the type's true values
+            rank = con.sql(
+                f"SELECT CAST(sum(CASE WHEN value <= {est} THEN 1 ELSE 0 END) "
+                f"AS DOUBLE) / count(*) FROM '{sf}/events.parquet' "
+                f"WHERE event_type = '{et}'"
+            ).fetchone()[0]
+            assert abs(rank - 0.5) < 0.02, (et, est, rank)
