@@ -157,9 +157,24 @@ def _compress(means: np.ndarray, weights: np.ndarray,
 
 def tdigest_build(values: np.ndarray,
                   delta: int = TDIGEST_DELTA) -> tuple[np.ndarray, np.ndarray]:
-    """Values -> digest (means, weights)."""
+    """Values -> digest (means, weights), fully vectorized: sorted
+    values cluster at the k-scale's integer boundaries (q_i where
+    k(q_i) is integral, i.e. q_i = (sin(2*pi*i/delta)+1)/2), so every
+    centroid is exactly at its capacity — same guarantee as the greedy
+    compressor without the per-value Python loop (the loop remains only
+    in merge, over <= ~4*delta centroids)."""
     v = np.sort(np.asarray(values, dtype=np.float64))
-    return _compress(v, np.ones(len(v), dtype=np.float64), delta)
+    n = len(v)
+    if n == 0:
+        return v, v.copy()
+    ks = np.arange(int(np.ceil(-delta / 4)), int(np.floor(delta / 4)) + 1)
+    qb = (np.sin(2.0 * np.pi * ks / delta) + 1.0) / 2.0
+    idx = np.unique(np.clip(np.round(qb * n).astype(np.int64), 0, n))
+    idx = idx[(idx > 0) & (idx < n)]
+    starts = np.concatenate([[0], idx])
+    sums = np.add.reduceat(v, starts)
+    counts = np.diff(np.concatenate([starts, [n]])).astype(np.float64)
+    return sums / counts, counts
 
 
 def tdigest_merge(a: tuple[np.ndarray, np.ndarray],
