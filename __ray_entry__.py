@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": lib.revenue_rollup,
         "distinct_users_by_type": lib.distinct_users_by_type,
         "segment_revenue_bloom": lib.segment_revenue_bloom,
+        "parties_union": lib.parties_union,
         # events: agg, JSON scalar, sessionize, window, as-of join
         "events_by_type": lib.events_by_type,
         "events_json_k": lib.events_json_k,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": lib.REVENUE_ROLLUP_SQL,
         "distinct_users_by_type": lib.DISTINCT_USERS_BY_TYPE_SQL,
         "segment_revenue_bloom": lib.SEGMENT_REVENUE_BLOOM_SQL,
+        "parties_union": lib.PARTIES_UNION_SQL,
         "events_by_type": lib.EVENTS_BY_TYPE_SQL,
         "events_json_k": lib.EVENTS_JSON_K_SQL,
         "sessionize_events": lib.SESSIONIZE_SQL,

@@ -194,6 +194,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("revenue_rollup", lambda: lib.revenue_rollup(SF_DIR))
     timed("distinct_users_by_type", lambda: lib.distinct_users_by_type(SF_DIR))
     timed("segment_revenue_bloom", lambda: lib.segment_revenue_bloom(SF_DIR))
+    timed("parties_union", lambda: lib.parties_union(SF_DIR))
     timed("dedup_ngram", lambda: dd.dedup_ngram(SF_DIR))
     timed("dedup_simhash", lambda: dd.dedup_simhash(SF_DIR))
     timed("neardup_embedding", lambda: dd.neardup_embedding(SF_DIR))

@@ -830,6 +830,32 @@ WHERE c.c_mktsegment = 'BUILDING'
 """
 
 
+def parties_union(sf_dir: str) -> "rd.Dataset":
+    """UNION ALL across two sources into one typed stream (customer +
+    supplier rosters) — Dataset.union is zero-shuffle (block lists
+    concatenate; the streaming executor interleaves both scans)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda df: pd.DataFrame({
+            "party_id": df["c_custkey"].astype("int64"),
+            "name": df["c_name"],
+            "kind": "customer"}),
+        batch_format="pandas")
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda df: pd.DataFrame({
+            "party_id": df["s_suppkey"].astype("int64"),
+            "name": df["s_name"],
+            "kind": "supplier"}),
+        batch_format="pandas")
+    return cust.union(sup)
+
+
+PARTIES_UNION_SQL = """
+SELECT c_custkey AS party_id, c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_suppkey AS party_id, s_name AS name, 'supplier' AS kind FROM supplier
+"""
+
+
 DISTINCT_USERS_BY_TYPE_SQL = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
