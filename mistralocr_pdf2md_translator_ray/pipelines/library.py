@@ -741,10 +741,13 @@ def segment_revenue_bloom(sf_dir: str,
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        # SQL sum() over zero rows is NULL, not 0 — mirror that
+        total = int(df["cents"].sum()) / 100.0 if n > 0 else float("nan")
         return pd.DataFrame({
             "c_mktsegment": [segment],
-            "n_orders": pd.array([int(df["n"].sum())], dtype="int64"),
-            "total_spent": [int(df["cents"].sum()) / 100.0],
+            "n_orders": pd.array([n], dtype="int64"),
+            "total_spent": [total],
         })
 
     return verified.repartition(1).map_batches(finish, batch_format="pandas")
