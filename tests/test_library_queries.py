@@ -134,3 +134,46 @@ class TestRevenueByNationPaths:
         exp = _normalize(ddb.sql(REVENUE_BY_NATION_SQL).df())
         pd.testing.assert_frame_equal(bc, exp, check_dtype=False,
                                       check_exact=True)
+
+
+class TestMedianNarrowingAdversarial:
+    def test_adversarial_distributions(self, tmp_path, ray_session):
+        """Histogram narrowing must stay exact on duplicate-heavy,
+        negative, denormal-adjacent, and huge-magnitude values — the
+        regimes where float->key windowing or rank arithmetic could
+        slip (duplicates concentrate a whole window in one bucket;
+        negatives exercise the sign-flip key transform)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            median_value_by_type,
+        )
+
+        rng = np.random.default_rng(23)
+        groups = {
+            "all_equal": np.full(5000, 3.25),
+            "two_point": np.where(rng.random(5000) < 0.7, -1.5, 42.0),
+            "negatives": -rng.lognormal(2, 3, 5000),
+            "huge": rng.uniform(-1e300, 1e300, 5000),
+            "tiny": rng.uniform(-1e-300, 1e-300, 5001),
+        }
+        types, values = [], []
+        for et, vals in groups.items():
+            types.extend([et] * len(vals))
+            values.extend(vals.tolist())
+        d = tmp_path / "adv"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+        }), str(d / "events.parquet"))
+
+        got = (median_value_by_type(str(d), one_task_max_rows=0)
+               .to_pandas().set_index("event_type"))
+        for et, vals in groups.items():
+            v = np.sort(vals)
+            expect = float(v[(len(v) - 1) // 2])
+            assert got.loc[et, "median_value"] == expect, et
+            assert int(got.loc[et, "n_events"]) == len(vals)
