@@ -203,6 +203,11 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
 
     timed("knn_cosine_ivf", lambda: knn_cosine_ivf(SF_DIR))
 
+    import __ray_entry__ as _entry
+
+    timed("knn_cosine_ivf_indexed",
+          lambda: _entry.queries()["knn_cosine_ivf_indexed"](SF_DIR))
+
 
 def run_scaling() -> dict:
     """Same job, fresh processes at 8 and 32 CPUs (N vs 4N proxy).
