@@ -205,6 +205,11 @@ class _FallbackNeeded(Exception):
 # '>' characters.
 _FAST_TAG_RE = re.compile(
     r"""<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)((?:"[^"]*"|'[^']*'|[^'">])*)>""")
+# every quote in an accepted attrs span must open an attribute VALUE
+# (directly after '=' + optional whitespace) — anywhere else HTMLParser
+# would NOT let the quoted run swallow '>' and the tag span diverges
+_ATTRS_QUOTES_OK_RE = re.compile(
+    r"""^(?:=\s*"[^"]*"|=\s*'[^']*'|[^"'])*$""")
 
 from html import unescape as _unescape  # noqa: E402  (stdlib, tiny)
 
@@ -242,15 +247,24 @@ def _fast_feed(html: str, ex: _Extractor) -> None:
             if attrs.strip():
                 raise _FallbackNeeded  # end tag with junk: parser quirks
             ex.handle_endtag(tag)
-        elif attrs.endswith("/") and (
-            len(attrs) == 1 or attrs[-2] in " \t\n\r\f\"'"
-        ):
-            # '/>' self-close only when '/' is its own token (after ws,
-            # a quoted value, or the bare name) — an unquoted attribute
-            # value swallows a trailing '/' in HTMLParser, so <a b=x/>
-            # is a plain start tag there and must be here too
-            ex.handle_starttag(tag, [])
-            ex.handle_endtag(tag)
+        elif ("'" in attrs or '"' in attrs) and not _ATTRS_QUOTES_OK_RE.match(attrs):
+            # a quote NOT introducing an attribute VALUE (no preceding
+            # '='): HTMLParser only lets quoted runs swallow '>' after
+            # '=', so our tag span may differ — let the parser decide
+            raise _FallbackNeeded
+        elif attrs.endswith("/"):
+            if len(attrs) == 1 or attrs[-2] in " \t\n\r\f\"'":
+                # '/>' self-close when '/' is its own token (after ws,
+                # a quoted value, or the bare name)
+                ex.handle_starttag(tag, [])
+                ex.handle_endtag(tag)
+            else:
+                # trailing '/' after a bare token: HTMLParser
+                # self-closes when the token is an attribute NAME
+                # (<nav foo/>) but NOT when it is an unquoted VALUE
+                # (<a b=x/>); telling them apart needs the full
+                # tolerant attr grammar — let the parser decide
+                raise _FallbackNeeded
         else:
             ex.handle_starttag(tag, [])
         pos = m.end()

@@ -679,7 +679,9 @@ def segment_revenue_bloom(sf_dir: str,
     seg_keys = cust.map_batches(
         lambda df, _s=segment: df.loc[df["c_mktsegment"] == _s,
                                       ["c_custkey"]].drop_duplicates(),
-        batch_format="pandas", batch_size=65536)
+        batch_format="pandas", batch_size=65536).materialize()
+    # materialized: consumed twice (bitmap build + exact verify) — a
+    # lazy Dataset would re-run the customer scan per consumer
 
     def to_bitmap(df: pd.DataFrame) -> pd.DataFrame:
         bm = bloom_partial(df["c_custkey"].to_numpy())
@@ -2299,8 +2301,11 @@ def knn_cosine_multi(sf_dir: str, k: int = 10, n_queries: int = 8) -> "rd.Datase
             mask = ids != qid
             v, sj = ids[mask], s[mask]
             if len(v) > k:
-                idx = np.argpartition(-sj, k)[:k]
-                v, sj = v[idx], sj[idx]
+                # total order (score desc, vec_id asc) — a plain
+                # argpartition breaks score TIES arbitrarily and the
+                # cut row set could diverge from the SQL tiebreak
+                order = np.lexsort((v, -sj))[:k]
+                v, sj = v[order], sj[order]
             out_q.append(np.full(len(v), qid, np.int64))
             out_v.append(v)
             out_s.append(sj)

@@ -384,7 +384,7 @@ def _all_pairs(sub: pd.DataFrame):
 _VERIFY_SORT_MIN_PAIRS = 100_000
 
 
-def _sorted_pair_blocks(pairs: "rd.Dataset", batch_size: int) -> "rd.Dataset":
+def _sorted_pair_blocks(pairs: "rd.Dataset") -> "rd.Dataset":
     pairs = pairs.materialize()
     n = pairs.count()
     if n == 0 or n < _VERIFY_SORT_MIN_PAIRS:
@@ -420,7 +420,7 @@ def _verify_jaccard_ds(doc_path: str, pairs: "rd.Dataset", shingle_fn,
             dtype=bool, count=len(a))
         return t.filter(pa.array(mask))
 
-    return _sorted_pair_blocks(pairs, batch_size).map_batches(
+    return _sorted_pair_blocks(pairs).map_batches(
         verify, batch_format="pyarrow", batch_size=batch_size)
 
 
@@ -452,7 +452,7 @@ def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
         sims = np.einsum("ij,ij->i", M[ia], M[ib])
         return t.filter(pa.array(sims >= threshold))
 
-    return _sorted_pair_blocks(pairs, batch_size).map_batches(
+    return _sorted_pair_blocks(pairs).map_batches(
         verify, batch_format="pyarrow", batch_size=batch_size)
 
 

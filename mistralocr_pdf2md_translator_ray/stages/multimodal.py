@@ -53,8 +53,9 @@ class PayloadFeatureActor:
     """
 
     def __init__(self, fake: bool | None = None) -> None:
-        # fake=None -> auto: real decode iff an image codec is importable
-        self._codec = probe_image_codec() if fake is not False else None
+        # fake=None -> auto: real decode iff an image codec is importable;
+        # fake=False demands one (decode raises without it)
+        self._codec = None if fake is True else probe_image_codec()
         self._fake = (self._codec is None) if fake is None else fake
         rng = np.random.default_rng(99)
         self._proj = rng.standard_normal((32, FEATURE_DIM))
@@ -126,7 +127,7 @@ class ImageResizeActor:
     def __init__(self, width: int = 64, height: int = 64,
                  fake: bool | None = None) -> None:
         self._w, self._h = int(width), int(height)
-        self._codec = probe_image_codec() if fake is not False else None
+        self._codec = None if fake is True else probe_image_codec()
         self._fake = (self._codec is None) if fake is None else fake
 
     def _resize(self, blob: bytes) -> bytes:
@@ -192,7 +193,7 @@ class FrameSampleActor:
 
     def __init__(self, every: int = 2, fake: bool | None = None) -> None:
         self._every = max(1, int(every))
-        self._codec = probe_video_codec() if fake is not False else None
+        self._codec = None if fake is True else probe_video_codec()
         self._fake = (self._codec is None) if fake is None else fake
 
     def _frames(self, blob: bytes) -> list[tuple[int, bytes]]:

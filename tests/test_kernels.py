@@ -354,6 +354,11 @@ class TestFastScannerParity:
             "<p>bogus < lone bracket and sufficient trailing text to keep it</p>",
             "<P UPPER='case'>uppercase tag with text long enough to keep around</P>",
             "<p>unquoted selfclose <a b=x/>not really self closed, keep this text</p>",
+            "<nav foo/><p>bare-attr self close: this text must still be kept</p>",
+            "<a hidden/>trailing text after a bare-attr self close, long enough",
+            "<p 'a>b'>stray quote not after equals with text long enough to keep</p>",
+            '<p "x>y">double stray quote variant with text long enough to keep</p>',
+            "<p data-x='1>2' hidden/>quoted value then bare attr self close text</p>",
             "<td>orphan cell</td><tr><td>a</td><td>b</td></tr>",
             "text before any tag that is plenty long enough to keep as a block",
             "<ul><li>item one is long</li><li>item two</li></ul><pre>code</pre>",
@@ -378,6 +383,9 @@ class TestFastScannerParity:
             tags.map(lambda t: f"</{t}>"),
             tags.map(lambda t: f"<{t}/>"),
             tags.map(lambda t: f"<{t} class='x' data-n=\"1>2\">"),
+            tags.map(lambda t: f"<{t} hidden/>"),
+            tags.map(lambda t: f"<{t} b=x/>"),
+            st.sampled_from(["<p 'q>r'>", '<div "s>t">', "<a href='u>v'/>"]),
             st.sampled_from(["<!-- c -->", "<!doctype html>", "<?php ?>",
                              "&amp;", "&#65;", "&bogus;", "<", ">", "</",
                              "<a href=", "'", '"']),
