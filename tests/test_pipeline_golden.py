@@ -380,3 +380,33 @@ class TestAssembly:
         )
         exp = oracle_assemble(oracle_turns).to_pandas()
         pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
+
+
+class TestAdaptiveAssemblyDual:
+    def test_forced_hot_path_dual(self, tiny_fixture, ray_session):
+        """hot_threshold=0 pushes EVERY conversation through the salted
+        two-phase branch with include_original — the adaptive assembler
+        must still produce both variants byte-equal to the per-turn
+        joins."""
+        from mistralocr_pdf2md_translator_ray.functions.scalars import PAGE_SEPARATOR
+        from mistralocr_pdf2md_translator_ray.stages.assemble import (
+            assemble_conversations_adaptive,
+        )
+
+        t, p = tiny_fixture
+        turns_ds = extract_turns(rd.from_arrow(t), rd.from_arrow(p),
+                                 emit_original=True)
+        turns = turns_ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+        docs = (
+            assemble_conversations_adaptive(
+                turns_ds, hot_threshold=0, salt_span=4,
+                include_original=True)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        exp = turns.groupby("conv_id").agg(
+            doc_md=("md", PAGE_SEPARATOR.join),
+            doc_md_original=("md_original", PAGE_SEPARATOR.join),
+        ).reset_index()
+        pd.testing.assert_frame_equal(
+            docs[["conv_id", "doc_md", "doc_md_original"]], exp,
+            check_dtype=False)
