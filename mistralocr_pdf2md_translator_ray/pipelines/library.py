@@ -1365,7 +1365,8 @@ def _float_from_ord_key(k: int) -> float:
 
 def _median_by_histogram_narrowing(ds: "rd.Dataset",
                                    stats: "pd.DataFrame",
-                                   nb: int = 1024) -> "pd.DataFrame":
+                                   nb: int = 1024,
+                                   rank_of=None) -> "pd.DataFrame":
     """Exact grouped median for groups too large to sort in one task:
     iterative distributed histogram narrowing (binary search on ordered
     float keys). Each round one streaming pass histograms every active
@@ -1378,9 +1379,15 @@ def _median_by_histogram_narrowing(ds: "rd.Dataset",
     ever holds a group's full value set.
 
     ``stats``: columns event_type, n, kmin, kmax (uint64 keys as ints).
+    ``rank_of(n)`` gives the 0-indexed element rank to select per group
+    (default: the lower-middle median element — any discrete quantile
+    works, e.g. ceil(q*n)-1 for quantile_disc(q) parity).
     Returns event_type, median_value, n_events.
     """
     import ray
+
+    if rank_of is None:
+        rank_of = lambda n: (n - 1) // 2  # noqa: E731
 
     state: dict[str, tuple[int, int]] = {}
     target: dict[str, int] = {}
@@ -1388,7 +1395,7 @@ def _median_by_histogram_narrowing(ds: "rd.Dataset",
     n_by_type: dict[str, int] = {}
     for r in stats.itertuples(index=False):
         n_by_type[r.event_type] = int(r.n)
-        target[r.event_type] = (int(r.n) - 1) // 2
+        target[r.event_type] = int(rank_of(int(r.n)))
         if r.kmin == r.kmax:
             result[r.event_type] = _float_from_ord_key(int(r.kmin))
         else:
@@ -1457,39 +1464,111 @@ def _median_by_histogram_narrowing(ds: "rd.Dataset",
     return out
 
 
-def value_percentiles_by_type(sf_dir: str, num_buckets: int = 8) -> "rd.Dataset":
+_PCT_QUANTILES = (0.25, 0.5, 0.9)
+
+
+def value_percentiles_by_type(sf_dir: str, num_buckets: int = 8,
+                              one_task_max_rows: int | None = None
+                              ) -> "rd.Dataset":
     """Exact grouped discrete percentiles (p25/p50/p90) of `value` per
-    event_type. One shuffle bucketed by type, vectorized numpy sort per
-    type. Element selection matches DuckDB's quantile_disc exactly:
-    index = ceil(q*n) - 1 (verified empirically across n in [2,20000] x
-    five quantiles — NOT floor(q*(n-1)), which differs). The same
-    histogram-narrowing fallback as median_value_by_type applies at
-    scale (each percentile is one rank target); this query keeps the
-    one-task path as the SQL-parity surface."""
+    event_type, ADAPTIVE like median_value_by_type: groups that fit a
+    task sort once (bucketed by type); oversized groups run the
+    distributed histogram narrowing once PER RANK TARGET (each
+    percentile is one binary search over counts — exact, no task ever
+    holds the group). Element selection matches DuckDB's quantile_disc
+    exactly: index = ceil(q*n) - 1 (verified empirically across n in
+    [2,20000] x five quantiles — NOT floor(q*(n-1)), which differs).
+    The two paths are equality-tested (tests force the threshold)."""
+    if one_task_max_rows is None:
+        one_task_max_rows = _MEDIAN_ONE_TASK_MAX
+    counts = (
+        _pq(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda df: df.groupby("event_type", as_index=False)
+            .agg(n=("event_type", "size")),
+            batch_format="pandas", batch_size=262144)
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n"].sum()
+    )
+    big_types = set(counts.loc[counts["n"] > one_task_max_rows, "event_type"])
+
     ds = _pq(sf_dir, "events", ["event_type", "value"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["b"] = bucket_ids_np(df["event_type"].to_numpy(), num_buckets)
-        return df
+    small_part = None
+    if len(big_types) < len(counts):
+        small_ds = ds
+        if big_types:
+            bt = sorted(big_types)
+            small_ds = ds.map_batches(
+                lambda df, _bt=bt: df[~df["event_type"].isin(_bt)],
+                batch_format="pandas")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for et, sub in g.groupby("event_type", sort=False):
-            v = np.sort(sub["value"].to_numpy())
-            n = len(v)
-            pick = lambda q: float(v[int(np.ceil(q * n)) - 1])  # noqa: E731
-            out.append((et, pick(0.25), pick(0.5), pick(0.9), n))
-        r = pd.DataFrame(out, columns=["event_type", "p25", "p50", "p90",
-                                       "n_events"])
-        r["n_events"] = r["n_events"].astype("int64")
-        return r
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["b"] = bucket_ids_np(df["event_type"].to_numpy(), num_buckets)
+            return df
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
-        .groupby("b")
-        .map_groups(per_bucket, batch_format="pandas")
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for et, sub in g.groupby("event_type", sort=False):
+                v = np.sort(sub["value"].to_numpy())
+                n = len(v)
+                pick = lambda q: float(v[int(np.ceil(q * n)) - 1])  # noqa: E731
+                out.append((et,) + tuple(pick(q) for q in _PCT_QUANTILES)
+                           + (n,))
+            r = pd.DataFrame(out, columns=["event_type", "p25", "p50", "p90",
+                                           "n_events"])
+            r["n_events"] = r["n_events"].astype("int64")
+            return r
+
+        small_part = (
+            small_ds.map_batches(add_bucket, batch_format="pandas",
+                                 batch_size=65536)
+            .groupby("b")
+            .map_groups(per_bucket, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        if not big_types:
+            return small_part
+
+    big_ds = ds.map_batches(
+        lambda df, _bt=sorted(big_types): df[df["event_type"].isin(_bt)],
+        batch_format="pandas")
+
+    def key_stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type", sort=False):
+            k = _float_ord_keys(sub["value"].to_numpy())
+            rows.append((et, len(k), int(k.min()), int(k.max())))
+        out = pd.DataFrame(rows, columns=["event_type", "n", "kmin", "kmax"])
+        return out.astype({"n": "int64", "kmin": "uint64", "kmax": "uint64"})
+
+    stats = (
+        big_ds.map_batches(key_stats, batch_format="pandas",
+                           batch_size=262144)
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), kmin=("kmin", "min"), kmax=("kmax", "max"))
     )
+    per_q = []
+    for q in _PCT_QUANTILES:
+        r = _median_by_histogram_narrowing(
+            big_ds, stats,
+            rank_of=lambda n, _q=q: int(np.ceil(_q * n)) - 1)
+        per_q.append(r.set_index("event_type")["median_value"])
+    big_df = pd.DataFrame({
+        "event_type": per_q[0].index,
+        "p25": per_q[0].to_numpy(),
+        "p50": per_q[1].to_numpy(),
+        "p90": per_q[2].to_numpy(),
+        "n_events": pd.array(
+            [int(stats.set_index("event_type").loc[et, "n"])
+             for et in per_q[0].index], dtype="int64"),
+    })
+    big_part = rd.from_arrow(pa.Table.from_pandas(big_df, preserve_index=False))
+    if small_part is None:
+        return big_part
+    return small_part.union(big_part)
 
 
 VALUE_PERCENTILES_SQL = """

@@ -177,3 +177,20 @@ class TestMedianNarrowingAdversarial:
             expect = float(v[(len(v) - 1) // 2])
             assert got.loc[et, "median_value"] == expect, et
             assert int(got.loc[et, "n_events"]) == len(vals)
+
+
+class TestPercentileNarrowing:
+    def test_forced_narrowing_matches_default_and_oracle(self, ddb,
+                                                         ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            VALUE_PERCENTILES_SQL,
+            value_percentiles_by_type,
+        )
+
+        got = _normalize(_to_pandas(
+            value_percentiles_by_type(SF_DIR, one_task_max_rows=0)))
+        default = _normalize(_to_pandas(value_percentiles_by_type(SF_DIR)))
+        pd.testing.assert_frame_equal(got, default, check_dtype=False)
+        exp = _normalize(ddb.sql(VALUE_PERCENTILES_SQL).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
