@@ -66,13 +66,16 @@ def lang_id(text: str) -> str:
     return best_lang if best_hits >= 2 else "und"
 
 
-def quality_score(text: str) -> float:
+def quality_score(text: str, toks: list[str] | None = None) -> float:
     """Composite quality in [0,1]: length, punctuation ratio, stopword
-    ratio, mean word length — the usual cheap pretraining filters."""
+    ratio, mean word length — the usual cheap pretraining filters.
+    ``toks`` lets a caller that already tokenized (the fused stats
+    actor) skip re-tokenizing; result is identical."""
     if not text or not text.strip():
         return 0.0
     n = len(text)
-    toks = tokenize(text)
+    if toks is None:
+        toks = tokenize(text)
     if not toks:
         return 0.0
     words = [t for t in toks if t[0].isalpha()]
@@ -91,10 +94,11 @@ def quality_score(text: str) -> float:
     return round(score, 6)
 
 
-def fingerprint64(text: str) -> int:
+def fingerprint64(text: str, toks: list[str] | None = None) -> int:
     """64-bit document fingerprint: blake2b over the normalized token
     stream (rolling-hash analog, stable across whitespace changes)."""
-    toks = tokenize(text)
+    if toks is None:
+        toks = tokenize(text)
     h = hashlib.blake2b(" ".join(toks).encode("utf-8"), digest_size=8)
     return struct.unpack("<q", h.digest())[0]
 

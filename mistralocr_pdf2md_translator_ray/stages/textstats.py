@@ -21,21 +21,30 @@ class TextStatsActor:
             lang_id,
             quality_score,
             token_count,
+            tokenize,
         )
 
         self._lang = lang_id
         self._quality = quality_score
         self._ntok = token_count
         self._fp = fingerprint64
+        self._tok = tokenize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
+        langs, quals, ntoks, fps = [], [], [], []
+        for t in texts:
+            toks = self._tok(t)  # tokenize ONCE; quality + fingerprint share
+            langs.append(self._lang(t))
+            quals.append(self._quality(t, toks))
+            ntoks.append(self._ntok(t))
+            fps.append(self._fp(t, toks))
         return pa.table({
             "doc_id": batch["doc_id"],
-            "lang_pred": pa.array([self._lang(t) for t in texts], pa.string()),
-            "quality": pa.array([self._quality(t) for t in texts], pa.float64()),
-            "n_tokens": pa.array([self._ntok(t) for t in texts], pa.int64()),
-            "fingerprint": pa.array([self._fp(t) for t in texts], pa.int64()),
+            "lang_pred": pa.array(langs, pa.string()),
+            "quality": pa.array(quals, pa.float64()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+            "fingerprint": pa.array(fps, pa.int64()),
         })
 
 

@@ -396,3 +396,25 @@ class TestFastScannerParity:
             assert html_to_markdown(html) == self._via_parser(html)
 
         prop()
+
+
+class TestFusedTokenization:
+    def test_pretokenized_args_identical(self):
+        from mistralocr_pdf2md_translator_ray.functions.textstats import (
+            fingerprint64,
+            quality_score,
+            tokenize,
+        )
+
+        samples = [
+            "The quick brown fox, and the lazy dog! 42 times.",
+            "",
+            "   ",
+            "word",
+            "a b c d e f g " * 50,
+            "数据流批处理 mixed 文本 with English words in the stream",
+        ]
+        for s in samples:
+            toks = tokenize(s)
+            assert quality_score(s, toks) == quality_score(s)
+            assert fingerprint64(s, toks) == fingerprint64(s)

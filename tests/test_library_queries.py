@@ -194,3 +194,68 @@ class TestPercentileNarrowing:
         exp = _normalize(ddb.sql(VALUE_PERCENTILES_SQL).df())
         pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                       check_exact=True)
+
+
+class TestJoinSkew:
+    def test_revenue_by_nation_under_extreme_key_skew(self, tmp_path,
+                                                      ray_session):
+        """One customer holding 60% of all orders (and one order holding
+        25% of all line items) must not change results — hot KEYS stay
+        one bucket's vectorized pandas merge by design
+        (stages/joins.py); this pins that contract with data."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            revenue_by_nation,
+        )
+
+        rng = np.random.default_rng(31)
+        d = tmp_path / "skew"
+        d.mkdir()
+        n_orders, n_li = 4000, 20000
+        hot_order, hot_cust = 7, 3
+        o_custkey = np.where(rng.random(n_orders) < 0.6, hot_cust,
+                             rng.integers(1, 200, n_orders))
+        pq2.write_table(pa.table({
+            "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+            "o_custkey": pa.array(o_custkey.astype("int64")),
+        }), str(d / "orders.parquet"))
+        l_orderkey = np.where(rng.random(n_li) < 0.25, hot_order,
+                              rng.integers(0, n_orders, n_li))
+        pq2.write_table(pa.table({
+            "l_orderkey": pa.array(l_orderkey.astype("int64")),
+            "l_extendedprice": pa.array(rng.uniform(1, 1000, n_li)),
+            "l_discount": pa.array(rng.uniform(0, 0.1, n_li).round(2)),
+        }), str(d / "lineitem.parquet"))
+        custkeys = np.unique(o_custkey)
+        pq2.write_table(pa.table({
+            "c_custkey": pa.array(custkeys.astype("int64")),
+            "c_nationkey": pa.array((custkeys % 5).astype("int64")),
+        }), str(d / "customer.parquet"))
+        pq2.write_table(pa.table({
+            "n_nationkey": pa.array(np.arange(5, dtype="int64")),
+            "n_name": pa.array([f"NATION_{i}" for i in range(5)]),
+        }), str(d / "nation.parquet"))
+
+        sql = """
+        SELECT n.n_name AS n_name,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                    * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        FROM 'LI' l JOIN 'OR' o ON l.l_orderkey = o.o_orderkey
+        JOIN 'CU' c ON o.o_custkey = c.c_custkey
+        JOIN 'NA' n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """.replace("LI", str(d / "lineitem.parquet")) \
+           .replace("OR", str(d / "orders.parquet")) \
+           .replace("CU", str(d / "customer.parquet")) \
+           .replace("NA", str(d / "nation.parquet"))
+        exp = _normalize(duckdb.sql(sql).df())
+        for threshold in (None, 0):  # broadcast path AND cogroup path
+            kwargs = {} if threshold is None else {
+                "broadcast_customer_max_rows": 0}
+            got = _normalize(_to_pandas(revenue_by_nation(str(d), **kwargs)))
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                          check_exact=True)
