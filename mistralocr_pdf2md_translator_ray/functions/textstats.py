@@ -34,6 +34,9 @@ _STOPWORDS = {
 }
 
 
+_ALL_STOPWORDS = frozenset().union(*_STOPWORDS.values())
+
+
 def token_count(text: str) -> int:
     """Whitespace token count — SQL-parity kernel."""
     if not text:
@@ -83,8 +86,7 @@ def quality_score(text: str, toks: list[str] | None = None) -> float:
     punct_ratio = punct / n
     word_ratio = len(words) / len(toks)
     mean_wlen = (sum(len(w) for w in words) / len(words)) if words else 0.0
-    all_stops = set().union(*_STOPWORDS.values())
-    stop_ratio = (sum(1 for w in words if w in all_stops) / len(words)) if words else 0.0
+    stop_ratio = (sum(1 for w in words if w in _ALL_STOPWORDS) / len(words)) if words else 0.0
     length_score = min(1.0, n / 500.0)
     wlen_score = 1.0 if 3.0 <= mean_wlen <= 10.0 else 0.5
     punct_score = 1.0 if punct_ratio <= 0.2 else max(0.0, 1.0 - (punct_ratio - 0.2) * 4)
