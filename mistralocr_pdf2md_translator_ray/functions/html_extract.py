@@ -205,11 +205,15 @@ class _FallbackNeeded(Exception):
 # '>' characters.
 _FAST_TAG_RE = re.compile(
     r"""<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)((?:"[^"]*"|'[^']*'|[^'">])*)>""")
-# every quote in an accepted attrs span must open an attribute VALUE
-# (directly after '=' + optional whitespace) — anywhere else HTMLParser
-# would NOT let the quoted run swallow '>' and the tag span diverges
+# a quote-bearing attrs span rides the fast path ONLY if it is a
+# strictly well-formed attribute sequence: ws + name (no '='/quote/'/'
+# leading chars) + optional = value. On that subset HTMLParser's
+# tolerant grammar tokenizes identically (quoted VALUES swallow '>');
+# anything looser — e.g. a bare '=' before a quote, which HTMLParser
+# reads as an attribute NAME so the tag ends at the first '>' — falls
+# back to the stdlib parser rather than risk a span divergence
 _ATTRS_QUOTES_OK_RE = re.compile(
-    r"""^(?:=\s*"[^"]*"|=\s*'[^']*'|[^"'])*$""")
+    r"""^(?:\s+[^\s/>="'][^\s/>=]*(?:\s*=\s*(?:"[^"]*"|'[^']*'|[^\s>"']*))?)*\s*/?\s*$""")
 
 from html import unescape as _unescape  # noqa: E402  (stdlib, tiny)
 

@@ -1363,105 +1363,155 @@ def _float_from_ord_key(k: int) -> float:
     return float(np.array([b], dtype=np.uint64).view(np.float64)[0])
 
 
-def _median_by_histogram_narrowing(ds: "rd.Dataset",
-                                   stats: "pd.DataFrame",
-                                   nb: int = 1024,
-                                   rank_of=None) -> "pd.DataFrame":
-    """Exact grouped median for groups too large to sort in one task:
-    iterative distributed histogram narrowing (binary search on ordered
-    float keys). Each round one streaming pass histograms every active
-    group's values into <= nb sub-ranges of its current [lo, hi] key
-    window; the window narrows to the bucket containing the target rank
+def _ranks_by_histogram_narrowing(ds: "rd.Dataset",
+                                  stats: "pd.DataFrame",
+                                  rank_fns: "dict",
+                                  nb: int = 1024) -> "pd.DataFrame":
+    """Exact grouped rank selection for groups too large to sort in one
+    task: iterative distributed histogram narrowing (binary search on
+    ordered float keys), MULTI-TARGET — every requested rank (e.g. the
+    p25/p50/p90 elements) narrows its own window but all active windows
+    are histogrammed in the SAME streaming pass per round, so k targets
+    cost max-rounds scans, never k x rounds. Each round one pass bins
+    every active (group, target) window's values into <= nb sub-ranges;
+    the window narrows to the bucket containing the remaining rank
     (range shrinks ~nb x per round, so <= ceil(64/log2 nb) = 7 rounds
-    worst case, 2-3 for real-world value ranges). Per-round driver state
-    is O(active_groups); per-round collected data is the tiny histogram
-    aggregate — values themselves NEVER leave the cluster and no task
-    ever holds a group's full value set.
+    worst case, 2-3 for real-world value ranges). Per-round driver
+    state is O(active windows); per-round collected data is the tiny
+    pre-aggregated histogram — values NEVER leave the cluster and no
+    task ever holds a group's full value set.
 
     ``stats``: columns event_type, n, kmin, kmax (uint64 keys as ints).
-    ``rank_of(n)`` gives the 0-indexed element rank to select per group
-    (default: the lower-middle median element — any discrete quantile
-    works, e.g. ceil(q*n)-1 for quantile_disc(q) parity).
-    Returns event_type, median_value, n_events.
+    ``rank_fns``: {label: fn(n) -> 0-indexed element rank} — e.g.
+    {"median_value": lambda n: (n-1)//2} or ceil(q*n)-1 per percentile
+    for quantile_disc(q) parity.
+    Returns event_type, <one column per label>, n_events.
     """
     import ray
 
-    if rank_of is None:
-        rank_of = lambda n: (n - 1) // 2  # noqa: E731
-
-    state: dict[str, tuple[int, int]] = {}
-    target: dict[str, int] = {}
-    result: dict[str, float] = {}
+    labels = list(rank_fns)
+    state: dict[tuple, tuple] = {}     # (et, label) -> (lo, hi)
+    target: dict[tuple, int] = {}      # (et, label) -> remaining rank
+    result: dict[tuple, float] = {}
     n_by_type: dict[str, int] = {}
     for r in stats.itertuples(index=False):
         n_by_type[r.event_type] = int(r.n)
-        target[r.event_type] = int(rank_of(int(r.n)))
-        if r.kmin == r.kmax:
-            result[r.event_type] = _float_from_ord_key(int(r.kmin))
-        else:
-            state[r.event_type] = (int(r.kmin), int(r.kmax))
+        for lbl in labels:
+            key = (r.event_type, lbl)
+            target[key] = int(rank_fns[lbl](int(r.n)))
+            if r.kmin == r.kmax:
+                result[key] = _float_from_ord_key(int(r.kmin))
+            else:
+                state[key] = (int(r.kmin), int(r.kmax))
 
     while state:
         bounds = {
-            et: (lo, hi, max(1, -(-(hi - lo + 1) // nb)))  # ceil-div step
-            for et, (lo, hi) in state.items()
+            key: (lo, hi, max(1, -(-(hi - lo + 1) // nb)))  # ceil-div step
+            for key, (lo, hi) in state.items()
         }
-        bounds_ref = ray.put(bounds)
+        # group active windows by type so the UDF computes each batch's
+        # keys once per type and bins into every target's window
+        by_type: dict[str, list] = {}
+        for (et, lbl), b in bounds.items():
+            by_type.setdefault(et, []).append((lbl, b))
+        bounds_ref = ray.put(by_type)
 
         def hist(df: pd.DataFrame) -> pd.DataFrame:
-            b = ray.get(bounds_ref)
-            types, idxs, cnts = [], [], []
+            bt = ray.get(bounds_ref)
+            types, lbls, idxs, cnts = [], [], [], []
             for et, sub in df.groupby("event_type", sort=False):
-                if et not in b:
+                wins = bt.get(et)
+                if not wins:
                     continue
-                lo, hi, step = b[et]
                 keys = _float_ord_keys(sub["value"].to_numpy())
-                # values outside the window were accounted for in
-                # earlier rounds; letting them clip into edge buckets
-                # would corrupt the rank arithmetic
-                keys = keys[(keys >= np.uint64(lo)) & (keys <= np.uint64(hi))]
-                if not len(keys):
-                    continue
-                idx = np.minimum((keys - np.uint64(lo)) // np.uint64(step),
-                                 np.uint64(nb - 1)).astype(np.int64)
-                bc = np.bincount(idx, minlength=0)
-                nz = np.nonzero(bc)[0]
-                types.extend([et] * len(nz))
-                idxs.extend(nz.tolist())
-                cnts.extend(bc[nz].tolist())
+                for lbl, (lo, hi, step) in wins:
+                    # values outside the window were accounted for in
+                    # earlier rounds; letting them clip into edge
+                    # buckets would corrupt the rank arithmetic
+                    k = keys[(keys >= np.uint64(lo)) & (keys <= np.uint64(hi))]
+                    if not len(k):
+                        continue
+                    idx = np.minimum((k - np.uint64(lo)) // np.uint64(step),
+                                     np.uint64(nb - 1)).astype(np.int64)
+                    bc = np.bincount(idx, minlength=0)
+                    nz = np.nonzero(bc)[0]
+                    types.extend([et] * len(nz))
+                    lbls.extend([lbl] * len(nz))
+                    idxs.extend(nz.tolist())
+                    cnts.extend(bc[nz].tolist())
             return pd.DataFrame({"event_type": pd.array(types, dtype="object"),
+                                 "lbl": pd.array(lbls, dtype="object"),
                                  "idx": pd.array(idxs, dtype="int64"),
                                  "cnt": pd.array(cnts, dtype="int64")})
 
         # the collected result is a pre-aggregated histogram
-        # (<= blocks x groups x nb tiny rows), never the values
+        # (<= blocks x windows x nb tiny rows), never the values
         parts = ds.map_batches(hist, batch_format="pandas",
                                batch_size=65536).to_pandas()
-        agg = parts.groupby(["event_type", "idx"])["cnt"].sum()
-        for et in list(state):
-            lo, hi = state[et]
-            step = bounds[et][2]
-            counts = agg.loc[et].sort_index()
+        agg = parts.groupby(["event_type", "lbl", "idx"])["cnt"].sum()
+        for key in list(state):
+            et, lbl = key
+            lo, hi = state[key]
+            step = bounds[key][2]
+            counts = agg.loc[(et, lbl)].sort_index()
             cum = counts.cumsum()
-            pos = int(np.searchsorted(cum.to_numpy(), target[et] + 1))
+            pos = int(np.searchsorted(cum.to_numpy(), target[key] + 1))
             bucket_idx = int(counts.index[pos])
             before = int(cum.iloc[pos - 1]) if pos > 0 else 0
-            target[et] -= before
+            target[key] -= before
             new_lo = lo + bucket_idx * step
             new_hi = hi if bucket_idx == nb - 1 else min(hi, new_lo + step - 1)
             if new_lo == new_hi:
-                result[et] = _float_from_ord_key(new_lo)
-                del state[et]
+                result[key] = _float_from_ord_key(new_lo)
+                del state[key]
             else:
-                state[et] = (new_lo, new_hi)
+                state[key] = (new_lo, new_hi)
 
-    out = pd.DataFrame({
-        "event_type": sorted(result),
-        "median_value": [result[et] for et in sorted(result)],
-        "n_events": pd.array([n_by_type[et] for et in sorted(result)],
-                             dtype="int64"),
-    })
-    return out
+    types_sorted = sorted(n_by_type)
+    cols = {"event_type": types_sorted}
+    for lbl in labels:
+        cols[lbl] = [result[(et, lbl)] for et in types_sorted]
+    cols["n_events"] = pd.array([n_by_type[et] for et in types_sorted],
+                                dtype="int64")
+    return pd.DataFrame(cols)
+
+
+def _route_types_by_size(sf_dir: str, one_task_max_rows: int):
+    """Count-only routing pass: per-type row counts + the set of types
+    past the one-task gate (shared by the adaptive median/percentile
+    queries)."""
+    counts = (
+        _pq(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda df: df.groupby("event_type", as_index=False)
+            .agg(n=("event_type", "size")),
+            batch_format="pandas", batch_size=262144)
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n"].sum()
+    )
+    big_types = set(counts.loc[counts["n"] > one_task_max_rows, "event_type"])
+    return counts, big_types
+
+
+def _big_type_key_stats(big_ds: "rd.Dataset") -> "pd.DataFrame":
+    """One pass over the oversized types: per-type count + ordered-key
+    min/max (the narrowing windows' starting bounds)."""
+
+    def key_stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type", sort=False):
+            k = _float_ord_keys(sub["value"].to_numpy())
+            rows.append((et, len(k), int(k.min()), int(k.max())))
+        out = pd.DataFrame(rows, columns=["event_type", "n", "kmin", "kmax"])
+        return out.astype({"n": "int64", "kmin": "uint64", "kmax": "uint64"})
+
+    return (
+        big_ds.map_batches(key_stats, batch_format="pandas",
+                           batch_size=262144)
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), kmin=("kmin", "min"), kmax=("kmax", "max"))
+    )
 
 
 _PCT_QUANTILES = (0.25, 0.5, 0.9)
@@ -1473,29 +1523,20 @@ def value_percentiles_by_type(sf_dir: str, num_buckets: int = 8,
     """Exact grouped discrete percentiles (p25/p50/p90) of `value` per
     event_type, ADAPTIVE like median_value_by_type: groups that fit a
     task sort once (bucketed by type); oversized groups run the
-    distributed histogram narrowing once PER RANK TARGET (each
-    percentile is one binary search over counts — exact, no task ever
-    holds the group). Element selection matches DuckDB's quantile_disc
-    exactly: index = ceil(q*n) - 1 (verified empirically across n in
-    [2,20000] x five quantiles — NOT floor(q*(n-1)), which differs).
-    The two paths are equality-tested (tests force the threshold)."""
+    distributed histogram narrowing with ALL THREE rank targets in the
+    same per-round passes (exact, no task ever holds the group).
+    Element selection matches DuckDB's quantile_disc exactly:
+    index = ceil(q*n) - 1 (verified empirically across n in [2,20000] x
+    five quantiles — NOT floor(q*(n-1)), which differs). The two paths
+    are equality-tested (tests force the threshold)."""
     if one_task_max_rows is None:
         one_task_max_rows = _MEDIAN_ONE_TASK_MAX
-    counts = (
-        _pq(sf_dir, "events", ["event_type"])
-        .map_batches(
-            lambda df: df.groupby("event_type", as_index=False)
-            .agg(n=("event_type", "size")),
-            batch_format="pandas", batch_size=262144)
-        .to_pandas()
-        .groupby("event_type", as_index=False)["n"].sum()
-    )
-    big_types = set(counts.loc[counts["n"] > one_task_max_rows, "event_type"])
+    counts, big_types = _route_types_by_size(sf_dir, one_task_max_rows)
 
     ds = _pq(sf_dir, "events", ["event_type", "value"])
 
     small_part = None
-    if len(big_types) < len(counts):
+    if not big_types or len(big_types) < len(counts):
         small_ds = ds
         if big_types:
             bt = sorted(big_types)
@@ -1529,42 +1570,19 @@ def value_percentiles_by_type(sf_dir: str, num_buckets: int = 8,
             .map_batches(lambda t: t, batch_format="pyarrow")
         )
         if not big_types:
+            # also covers the empty-table case: the small path keeps the
+            # pre-adaptive behavior
             return small_part
 
     big_ds = ds.map_batches(
         lambda df, _bt=sorted(big_types): df[df["event_type"].isin(_bt)],
         batch_format="pandas")
-
-    def key_stats(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, sub in df.groupby("event_type", sort=False):
-            k = _float_ord_keys(sub["value"].to_numpy())
-            rows.append((et, len(k), int(k.min()), int(k.max())))
-        out = pd.DataFrame(rows, columns=["event_type", "n", "kmin", "kmax"])
-        return out.astype({"n": "int64", "kmin": "uint64", "kmax": "uint64"})
-
-    stats = (
-        big_ds.map_batches(key_stats, batch_format="pandas",
-                           batch_size=262144)
-        .to_pandas()
-        .groupby("event_type", as_index=False)
-        .agg(n=("n", "sum"), kmin=("kmin", "min"), kmax=("kmax", "max"))
-    )
-    per_q = []
-    for q in _PCT_QUANTILES:
-        r = _median_by_histogram_narrowing(
-            big_ds, stats,
-            rank_of=lambda n, _q=q: int(np.ceil(_q * n)) - 1)
-        per_q.append(r.set_index("event_type")["median_value"])
-    big_df = pd.DataFrame({
-        "event_type": per_q[0].index,
-        "p25": per_q[0].to_numpy(),
-        "p50": per_q[1].to_numpy(),
-        "p90": per_q[2].to_numpy(),
-        "n_events": pd.array(
-            [int(stats.set_index("event_type").loc[et, "n"])
-             for et in per_q[0].index], dtype="int64"),
-    })
+    stats = _big_type_key_stats(big_ds)
+    rank_fns = {
+        f"p{int(q * 100)}": (lambda n, _q=q: int(np.ceil(_q * n)) - 1)
+        for q in _PCT_QUANTILES
+    }
+    big_df = _ranks_by_histogram_narrowing(big_ds, stats, rank_fns)
     big_part = rd.from_arrow(pa.Table.from_pandas(big_df, preserve_index=False))
     if small_part is None:
         return big_part
@@ -1656,28 +1674,19 @@ def median_value_by_type(sf_dir: str,
     - oversized groups (> one_task_max_rows): iterative distributed
       histogram narrowing over order-preserving float keys — exact, no
       task ever materializes the group (see
-      ``_median_by_histogram_narrowing``); the two paths are
+      ``_ranks_by_histogram_narrowing``); the two paths are
       equality-tested (tests force the threshold to 0)
 
     A first count-only pass over the event_type column routes each
     group. Parity: discrete quantile (lower-middle element), identical
     element selection in the SQL via quantile_disc.
     """
-    counts = (
-        _pq(sf_dir, "events", ["event_type"])
-        .map_batches(
-            lambda df: df.groupby("event_type", as_index=False)
-            .agg(n=("event_type", "size")),
-            batch_format="pandas", batch_size=262144)
-        .to_pandas()
-        .groupby("event_type", as_index=False)["n"].sum()
-    )
-    big_types = set(counts.loc[counts["n"] > one_task_max_rows, "event_type"])
+    counts, big_types = _route_types_by_size(sf_dir, one_task_max_rows)
 
     ds = _pq(sf_dir, "events", ["event_type", "value"])
 
     small_part = None
-    if len(big_types) < len(counts):
+    if not big_types or len(big_types) < len(counts):
         small_ds = ds
         if big_types:
             bt = sorted(big_types)
@@ -1710,30 +1719,16 @@ def median_value_by_type(sf_dir: str,
             .map_batches(lambda t: t, batch_format="pyarrow")
         )
         if not big_types:
+            # also covers the empty-table case (pre-adaptive behavior)
             return small_part
 
     big_ds = ds.map_batches(
         lambda df, _bt=sorted(big_types): df[df["event_type"].isin(_bt)],
         batch_format="pandas")
-
-    def key_stats(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, sub in df.groupby("event_type", sort=False):
-            k = _float_ord_keys(sub["value"].to_numpy())
-            rows.append((et, len(k), int(k.min()), int(k.max())))
-        out = pd.DataFrame(rows, columns=["event_type", "n", "kmin", "kmax"])
-        return out.astype({"n": "int64", "kmin": "uint64", "kmax": "uint64"})
-
-    stats = (
-        big_ds.map_batches(key_stats, batch_format="pandas",
-                           batch_size=262144)
-        .to_pandas()
-        .groupby("event_type", as_index=False)
-        .agg(n=("n", "sum"), kmin=("kmin", "min"), kmax=("kmax", "max"))
-    )
-    big_part = rd.from_arrow(
-        pa.Table.from_pandas(_median_by_histogram_narrowing(big_ds, stats),
-                             preserve_index=False))
+    stats = _big_type_key_stats(big_ds)
+    big_df = _ranks_by_histogram_narrowing(
+        big_ds, stats, {"median_value": lambda n: (n - 1) // 2})
+    big_part = rd.from_arrow(pa.Table.from_pandas(big_df, preserve_index=False))
     if small_part is None:
         return big_part
     return small_part.union(big_part)

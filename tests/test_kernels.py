@@ -359,6 +359,9 @@ class TestFastScannerParity:
             "<p 'a>b'>stray quote not after equals with text long enough to keep</p>",
             '<p "x>y">double stray quote variant with text long enough to keep</p>',
             "<p data-x='1>2' hidden/>quoted value then bare attr self close text</p>",
+            '<p ="x>y">bare equals before a quote with text long enough to keep</p>',
+            "<p = 'x>y'>spaced bare equals quote variant, enough text to keep</p>",
+            '<p a="1" ="x>y">attr then bare equals quote, enough text to keep</p>',
             "<td>orphan cell</td><tr><td>a</td><td>b</td></tr>",
             "text before any tag that is plenty long enough to keep as a block",
             "<ul><li>item one is long</li><li>item two</li></ul><pre>code</pre>",
@@ -386,6 +389,7 @@ class TestFastScannerParity:
             tags.map(lambda t: f"<{t} hidden/>"),
             tags.map(lambda t: f"<{t} b=x/>"),
             st.sampled_from(["<p 'q>r'>", '<div "s>t">', "<a href='u>v'/>"]),
+            st.sampled_from(['<p ="q>r">', "<div = 's>t'>", "<a b= ='u>v'>"]),
             st.sampled_from(["<!-- c -->", "<!doctype html>", "<?php ?>",
                              "&amp;", "&#65;", "&bogus;", "<", ">", "</",
                              "<a href=", "'", '"']),
