@@ -139,7 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mistralocr_pdf2md_translator_ray.pipelines import library as lib
     from mistralocr_pdf2md_translator_ray.stages import dedup as dd
 
-    return {
+    q = {
         # flagship extraction (non-SQL; golden-tested in pytest)
         "extract_turns": _extract_turns_query,
         "extract_turns_dual": _extract_turns_dual_query,
@@ -207,6 +207,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_resize": _payload_resize_query,
         "frame_sample": _frame_sample_query,
     }
+    # Driver-window ordering: the driver SQL-checks a bounded prefix of
+    # this dict, so every oracle-backed query must precede the
+    # rows-only ones (round 3 lost knn_cosine's green row to position
+    # 53). Reordering here keeps the logical grouping above while
+    # guaranteeing the invariant as queries are added.
+    sql_backed = set(oracle_sql())
+    ordered = {k: v for k, v in q.items() if k in sql_backed}
+    # rows-only tail, highest-signal first (flagship extraction + the
+    # dedup family) so they stay inside the window too
+    tail_priority = [
+        "extract_turns", "extract_turns_dual", "extract_documents",
+        "dedup_minhash", "dedup_ngram", "dedup_simhash",
+        "neardup_embedding", "text_quality",
+    ]
+    rest = [k for k in q if k not in sql_backed]
+    rest.sort(key=lambda k: (tail_priority.index(k)
+                             if k in tail_priority else len(tail_priority)))
+    ordered.update((k, q[k]) for k in rest)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -167,9 +167,13 @@ def _child_partial_refs(files: list[str], conv_filter=None):
     return [_partial.remote(s) for s in shards]
 
 
-def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict):
+def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict,
+                        pool_fraction: float = 1.0):
     """Single fused extract+splice+normalize actor pool (the broadcast
-    join's streaming side)."""
+    join's streaming side). ``pool_fraction`` scales the pool down when
+    two extraction branches run concurrently (the hot/cold document
+    split) so their fixed pools don't oversubscribe the cluster and
+    starve the task stages."""
     import ray as _ray
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))
@@ -179,9 +183,9 @@ def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict):
         # 20/22/24 at 32 CPUs over 9 interleaved runs: 24 best
         # (22.6-25.2s) vs 20 (23.5-26.0s); reads finish early and the
         # write tasks are light, so the fused stage can own more cores.
-        solo_pool["concurrency"] = (cpus * 3) // 4
+        solo_pool["concurrency"] = max(1, int(((cpus * 3) // 4) * pool_fraction))
     elif cpus >= 6:
-        solo_pool["concurrency"] = cpus // 2
+        solo_pool["concurrency"] = max(1, int((cpus // 2) * pool_fraction))
     # larger batches amortize the Arrow<->Python conversion (measured
     # +12% at 4096 vs 1024 on ~1-2KB turns); for corpora with very wide
     # turns lower this so batch bytes x pool size fits worker heaps
@@ -199,7 +203,7 @@ from ..stages.assemble import (
     assemble_conversations_adaptive,
 )
 
-def _pools() -> tuple[dict, dict, dict]:
+def _pools(pool_fraction: float = 1.0) -> tuple[dict, dict, dict]:
     """Actor-pool sizing scaled to the cluster.
 
     Three pools coexist with the task-based stages (read, route,
@@ -231,6 +235,16 @@ def _pools() -> tuple[dict, dict, dict]:
                        num_cpus=1)
         child = dict(concurrency=(1, max(1, cpus // 8)), batch_size=1024,
                      num_cpus=1)
+    if pool_fraction != 1.0:
+        def scale(pool: dict) -> dict:
+            c = pool["concurrency"]
+            if isinstance(c, tuple):
+                c = (c[0], max(c[0], int(c[1] * pool_fraction)))
+            else:
+                c = max(1, int(c * pool_fraction))
+            return dict(pool, concurrency=c)
+
+        with_ph, plain, child = scale(with_ph), scale(plain), scale(child)
     return with_ph, plain, child
 
 
@@ -245,6 +259,8 @@ def extract_turns(
     payloads_path: Optional[str] = None,  # enables the overlapped path
     conv_filter=None,  # (part_ids, n_partitions) resume restriction
     emit_original: bool = False,  # dual-variant output (md_original column)
+    child_refs=None,  # precomputed child partial refs (hot/cold doc split)
+    pool_fraction: float = 1.0,  # scale pools when branches run concurrently
 ) -> "ray.data.Dataset":
     """Per-turn extraction; returns Dataset with columns
     (conv_id, turn_idx, role, tool, ts, md, n_tokens, status, error).
@@ -264,10 +280,20 @@ def extract_turns(
     """
     from ..stages.registry import get_registry
 
-    with_ph_pool, plain_pool, child_pool = _pools()
+    with_ph_pool, plain_pool, child_pool = _pools(pool_fraction)
     ctor = {"fn_constructor_kwargs": {"extra_extractors": get_registry()}}
     fin_children = finalize_with_children_dual if emit_original else finalize_with_children
     fin_plain = finalize_plain_dual if emit_original else finalize_plain
+
+    if child_refs is not None:
+        # Precomputed child partial refs (the hot/cold document split
+        # shares ONE child-extraction run between its two concurrent
+        # branches; each branch's actors fetch the same plasma objects).
+        return _broadcast_pipeline(
+            transcripts, plain_pool,
+            {"cmap_refs": child_refs, "extra_extractors": get_registry(),
+             "emit_original": emit_original},
+            pool_fraction=pool_fraction)
 
     if payloads_path is not None and child_join in ("auto", "broadcast"):
         # Overlapped broadcast path: child partial maps are computed by
@@ -290,7 +316,8 @@ def extract_turns(
                 return _broadcast_pipeline(
                     transcripts, plain_pool,
                     {"cmap_refs": refs, "extra_extractors": get_registry(),
-                     "emit_original": emit_original})
+                     "emit_original": emit_original},
+                    pool_fraction=pool_fraction)
             payloads = rd.read_parquet(files)
             if conv_filter is not None:
                 payloads = _filter_conv_partitions(payloads, conv_filter)
@@ -326,7 +353,8 @@ def extract_turns(
             return _broadcast_pipeline(
                 transcripts, plain_pool,
                 {"cmap_ref": cmap_ref, "extra_extractors": get_registry(),
-                 "emit_original": emit_original})
+                 "emit_original": emit_original},
+                pool_fraction=pool_fraction)
         children = child_mat  # too big to broadcast; reuse for cogroup
     else:
         children = payloads.map_batches(
@@ -369,12 +397,54 @@ def extract_turns(
     return spliced.union(plain_out)
 
 
+def _hot_conversations(transcripts: "ray.data.Dataset",
+                       hot_threshold: int) -> set:
+    """Conversations longer than ``hot_threshold`` turns, counted on the
+    RAW transcript input (``conv_id`` column only). Turn counts are
+    invariant under extraction — errors are values, rows are never
+    dropped (SURVEY.md §1.1) — so hot detection never consumes the
+    expensive extraction stream. Bucketed reduce: no task holds a row
+    per conversation, and the driver only ever collects the (almost
+    always tiny) hot set."""
+    import pyarrow as pa
+
+    from ..functions.hashing import bucket_ids
+    from ..stages.joins import coalesce_blocks
+
+    if hot_threshold <= 0:
+        # degenerate: every conversation is hot; collect distinct ids
+        # (test-only path — production thresholds are >= thousands)
+        return set(transcripts.unique("conv_id"))
+
+    partials = transcripts.select_columns(["conv_id"]).map_batches(
+        lambda df: df.groupby("conv_id", as_index=False).agg(
+            n=("conv_id", "size")),
+        batch_format="pandas", batch_size=65536,
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("b", bucket_ids(t["conv_id"], 32))
+
+    def per_bucket(g):
+        s = g.groupby("conv_id", as_index=False)["n"].sum()
+        return s.loc[s["n"] > hot_threshold, ["conv_id"]]
+
+    hot_rows = (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(coalesce_blocks())
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return {r["conv_id"] for r in hot_rows.take_all()}
+
+
 def extract_documents(
     transcripts: "ray.data.Dataset",
     payloads: Optional["ray.data.Dataset"] = None,
     salt_span: int | None = 256,
     payloads_path: Optional[str] = None,
     emit_original: bool = False,
+    hot_threshold: int = 10_000,
 ) -> "ray.data.Dataset":
     """Whole-document output: one row per conversation
     (conv_id, n_turns, doc_md), turn order restored inside groups.
@@ -382,15 +452,86 @@ def extract_documents(
     (doc_md + doc_md_original — the reference's dual
     original/translated outputs, mistralocr_app.py:714-717).
 
-    Assembly is ADAPTIVE: only conversations past the hot threshold get
-    the two-phase salted path; everything else takes the single-phase
-    groupby (always-salting measured 2.7x the single-phase when no
-    group outgrows a task — see stages/assemble.py). ``salt_span=None``
-    forces single-phase for every conversation."""
-    turns = extract_turns(transcripts, payloads, payloads_path=payloads_path,
-                          emit_original=emit_original)
+    Assembly is ADAPTIVE, decided BEFORE extraction: conversations past
+    ``hot_threshold`` turns are split off the raw input and routed
+    through the two-phase salted assembly; everything else takes the
+    single-phase groupby (always-salting measured 2.7x the single-phase
+    when no group outgrows a task — see stages/assemble.py). Hot
+    detection counts the RAW input's ``conv_id`` column (turn counts
+    are invariant under extraction), so the expensive extraction stream
+    is consumed exactly once per row and NEVER materialized — the
+    round-3 design materialized the entire per-turn output before a
+    3-consumption scan, a full-corpus object-store spill at scale.
+
+    Assumes ``transcripts`` (and ``payloads``, if a Dataset) are
+    cheaply re-consumable — a parquet read or in-memory Dataset. The
+    checkpointed path (pipelines/job.py) instead re-reads its
+    checkpoint parquet via ``assemble_conversations_adaptive``.
+
+    ``salt_span=None`` forces single-phase for every conversation."""
+    import pyarrow as pa
+    import ray
+
     if salt_span is None:
+        turns = extract_turns(transcripts, payloads,
+                              payloads_path=payloads_path,
+                              emit_original=emit_original)
         return assemble_conversations(turns, salt_span=None,
                                       include_original=emit_original)
-    return assemble_conversations_adaptive(
-        turns, salt_span=salt_span, include_original=emit_original)
+
+    hot = _hot_conversations(transcripts, hot_threshold)
+    if not hot:
+        turns = extract_turns(transcripts, payloads,
+                              payloads_path=payloads_path,
+                              emit_original=emit_original)
+        return assemble_conversations(turns, salt_span=None,
+                                      include_original=emit_original)
+
+    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
+
+    def split(t: pa.Table, want_hot: bool) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(t["conv_id"], value_set=ray.get(hot_ref))
+        return t.filter(mask if want_hot else pc.invert(mask))
+
+    cold_t = transcripts.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow")
+    hot_t = transcripts.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow")
+
+    # Child side: ONE child-extraction run shared by both branches.
+    # Overlapped-broadcast inputs share the partial-map ObjectRefs;
+    # Dataset payloads are split by the same hot set so each payload
+    # row is extracted by exactly one branch.
+    shared_refs = None
+    if payloads_path is not None:
+        files = _payload_files(payloads_path)
+        if files and _parquet_meta_rows(files) <= BROADCAST_CHILD_MAX_ROWS:
+            shared_refs = _child_partial_refs(files)
+            payloads = None
+        elif files:
+            payloads = rd.read_parquet(files)
+        elif payloads is None:
+            payloads = rd.read_parquet(payloads_path)
+    cold_p = hot_p = None
+    if shared_refs is None and payloads is not None:
+        cold_p = payloads.map_batches(
+            lambda t: split(t, False), batch_format="pyarrow")
+        hot_p = payloads.map_batches(
+            lambda t: split(t, True), batch_format="pyarrow")
+
+    # Pool fractions: the branches run concurrently under the union;
+    # full-size fixed pools on both would demand 1.5x the cluster and
+    # starve the task stages (CLAUDE.md invariant). Cold typically
+    # carries most rows.
+    cold_turns = extract_turns(cold_t, cold_p, emit_original=emit_original,
+                               child_refs=shared_refs, pool_fraction=0.5)
+    hot_turns = extract_turns(hot_t, hot_p, emit_original=emit_original,
+                              child_refs=shared_refs, pool_fraction=0.25)
+    cold_docs = assemble_conversations(cold_turns, salt_span=None,
+                                       include_original=emit_original)
+    hot_docs = assemble_conversations(hot_turns, salt_span=salt_span,
+                                      num_buckets=16,
+                                      include_original=emit_original)
+    return cold_docs.union(hot_docs)

@@ -382,6 +382,68 @@ class TestAssembly:
         pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
 
 
+class TestHotSplitDocuments:
+    """extract_documents' pre-extraction hot/cold split: hot detection
+    runs on the RAW conv_id column (turn counts are invariant under
+    extraction), each branch extracts its rows exactly once, and the
+    union must equal the single-phase composition byte-for-byte."""
+
+    def _docs(self, t, p, **kw):
+        from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+            extract_documents,
+        )
+
+        return (
+            extract_documents(rd.from_arrow(t),
+                              None if p is None else rd.from_arrow(p), **kw)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+
+    def test_hot_split_equals_single_phase(self, tiny_fixture, ray_session):
+        t, p = tiny_fixture
+        # threshold below the fixture's ~100-turn hot conversation ->
+        # both branches non-empty
+        split = self._docs(t, p, salt_span=16, hot_threshold=40)
+        base = self._docs(t, p, salt_span=None)
+        pd.testing.assert_frame_equal(
+            split[["conv_id", "n_turns", "doc_md"]],
+            base[["conv_id", "n_turns", "doc_md"]], check_dtype=False)
+
+    def test_hot_split_shared_child_refs(self, tiny_fixture, ray_session,
+                                         tmp_path):
+        import pyarrow.parquet as pq
+
+        from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+            extract_documents,
+        )
+
+        t, p = tiny_fixture
+        p_path = str(tmp_path / "payloads.parquet")
+        pq.write_table(p, p_path)
+        split = (
+            extract_documents(rd.from_arrow(t), payloads_path=p_path,
+                              salt_span=16, hot_threshold=40,
+                              emit_original=True)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        base = self._docs(t, p, salt_span=None, emit_original=True)
+        pd.testing.assert_frame_equal(
+            split[["conv_id", "n_turns", "doc_md", "doc_md_original"]],
+            base[["conv_id", "n_turns", "doc_md", "doc_md_original"]],
+            check_dtype=False)
+
+    def test_hot_detection_matches_counts(self, tiny_fixture, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+            _hot_conversations,
+        )
+
+        t, _ = tiny_fixture
+        sizes = pd.Series(t["conv_id"].to_pylist()).value_counts()
+        for threshold in (40, 10_000):
+            got = _hot_conversations(rd.from_arrow(t), threshold)
+            assert got == set(sizes[sizes > threshold].index)
+
+
 class TestAdaptiveAssemblyDual:
     def test_forced_hot_path_dual(self, tiny_fixture, ray_session):
         """hot_threshold=0 pushes EVERY conversation through the salted
