@@ -38,6 +38,42 @@ def bucket_ids_np(values, num_buckets: int) -> np.ndarray:
     return (s.hash(seed=0) % num_buckets).to_numpy().astype(np.int32)
 
 
+#: Version tag recorded in checkpoint lineage next to content hashes.
+#: polars' seeded hash is cross-process deterministic within a library
+#: version but not across upgrades, so a hash computed by a different
+#: version must not be compared — the tag makes that detectable.
+CONTENT_HASH_FN = "polars-xxh64-sum-v2"
+
+
+def content_hash_sum(tbl: pa.Table, cols: list[str]) -> int:
+    """Order-insensitive 64-bit content hash of selected columns:
+    vectorized per-row hash (cast-to-string + join + polars seeded
+    hash), summed mod 2^64. Replaces the round-3 per-row Python blake2b
+    loop (O(corpus) single-core work on every checkpoint readback).
+    Columns that cannot cast to string (nested types) fall back to the
+    scalar path for that table."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    try:
+        parts = [pc.fill_null(pc.cast(tbl[c], pa.string()), "\x00null")
+                 for c in cols]
+    except pa.ArrowNotImplementedError:
+        import hashlib
+
+        acc = 0
+        for vals in zip(*(tbl[c].to_pylist() for c in cols)):
+            h = hashlib.blake2b(
+                "\x1f".join(str(v) for v in vals).encode("utf-8"),
+                digest_size=8).digest()
+            acc = (acc + int.from_bytes(h, "little")) & 0xFFFFFFFFFFFFFFFF
+        return acc
+    joined = (parts[0] if len(parts) == 1
+              else pc.binary_join_element_wise(*parts, "\x1f"))
+    h = pl.from_arrow(joined).hash(seed=0).to_numpy()
+    return int(h.sum(dtype=np.uint64))
+
+
 def crc32_part_ids(col: "pa.Array | pa.ChunkedArray",
                    n_partitions: int) -> np.ndarray:
     """Arrow string column -> int64 ``crc32(key) % N`` partition ids.

@@ -35,3 +35,15 @@ def list_column_to_matrix(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     if not (np.diff(offsets) == dim).all():
         raise ValueError("list column has non-uniform lengths")
     return flat.reshape(n, dim)
+
+
+def topk_prune(ids: np.ndarray, sims: np.ndarray, k: int):
+    """Per-batch top-k prune with the oracle's FULL tie-break (score
+    desc, id asc). A bare ``np.argpartition`` breaks score ties
+    arbitrarily, so the pruned row set could diverge from the SQL
+    ``ORDER BY score DESC, id`` cut when ties straddle the k boundary
+    — every kNN scorer must prune through this one helper (CLAUDE.md)."""
+    if len(ids) <= k:
+        return ids, sims
+    order = np.lexsort((ids, -sims))[:k]
+    return ids[order], sims[order]

@@ -41,7 +41,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import bucket_ids_np
-from ..functions.vectors import list_column_to_matrix
+from ..functions.vectors import list_column_to_matrix, topk_prune
 
 
 def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
@@ -898,6 +898,14 @@ def event_type_pivot(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
     ds = _pq(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # n_total sums the pinned vocabulary's columns while the oracle
+        # counts every row — an event_type outside _EVENT_TYPES would
+        # silently diverge from the SQL, so vocabulary drift must fail
+        # loudly here instead
+        unknown = set(df["event_type"].unique()) - set(_EVENT_TYPES)
+        if unknown:
+            raise ValueError(
+                f"event_type(s) outside the pivot vocabulary: {sorted(unknown)}")
         ct = (df.groupby(["user_id", "event_type"]).size()
               .unstack(fill_value=0)
               .reindex(columns=list(_EVENT_TYPES), fill_value=0)
@@ -1027,12 +1035,18 @@ def events_json_k(sf_dir: str) -> "rd.Dataset":
         # vectorized JSON path extraction (measured ~3x the per-row
         # json.loads loop); '$.k' match equals json.loads(s).get('k')
         # for scalar values, missing keys -> null either way
-        k = (pl.Series(df["props"].to_numpy())
-             .str.json_path_match("$.k").cast(pl.Int64).to_numpy())
-        out = pd.DataFrame({"event_id": df["event_id"],
-                            "event_type": df["event_type"],
-                            "k": k.astype("int64")})
-        return out[out["k"] >= 90]
+        s = (pl.Series(df["props"].to_numpy())
+             .str.json_path_match("$.k").cast(pl.Int64))
+        # mask missing keys BEFORE the int64 cast: null -> NaN -> int64
+        # is an undefined cast (INT64_MIN garbage) that only dropped
+        # because the filter happens to be >=-shaped (SQL WHERE on null
+        # is false, so null rows are excluded either way)
+        valid = s.is_not_null().to_numpy()
+        k = s.fill_null(0).to_numpy().astype("int64")
+        mask = valid & (k >= 90)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy()[mask],
+                             "event_type": df["event_type"].to_numpy()[mask],
+                             "k": k[mask]})
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=65536)
 
@@ -2323,10 +2337,8 @@ def knn_cosine(sf_dir: str, k: int = 10) -> "rd.Dataset":
         sims = (M @ v) / np.linalg.norm(M, axis=1)
         mask = ids != 0
         ids, sims = ids[mask], sims[mask]
-        # per-batch top-k prune before the global sort
-        if len(ids) > k:
-            idx = np.argpartition(-sims, k)[:k]
-            ids, sims = ids[idx], sims[idx]
+        # per-batch top-k prune (tie-safe lexsort) before the global sort
+        ids, sims = topk_prune(ids, sims, k)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "score": pa.array(np.round(sims, 3), pa.float64()),
@@ -2374,12 +2386,7 @@ def knn_cosine_multi(sf_dir: str, k: int = 10, n_queries: int = 8) -> "rd.Datase
             s = sims[:, j]
             mask = ids != qid
             v, sj = ids[mask], s[mask]
-            if len(v) > k:
-                # total order (score desc, vec_id asc) — a plain
-                # argpartition breaks score TIES arbitrarily and the
-                # cut row set could diverge from the SQL tiebreak
-                order = np.lexsort((v, -sj))[:k]
-                v, sj = v[order], sj[order]
+            v, sj = topk_prune(v, sj, k)
             out_q.append(np.full(len(v), qid, np.int64))
             out_v.append(v)
             out_s.append(sj)

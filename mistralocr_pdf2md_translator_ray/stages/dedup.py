@@ -348,8 +348,11 @@ def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
     raw_pairs = raw_pairs.map_batches(
         _ensure_pair_schema, batch_format="pyarrow").materialize()
     if raw_pairs.count() <= _SMALL_PAIRS_MAX:
+        # batch_size=None: the UDF must see the single repartitioned
+        # block WHOLE, or drop_duplicates runs per default-sized batch
+        # and duplicate pairs survive the "distinct" stage
         return raw_pairs.repartition(1).map_batches(
-            distinct_pairs, batch_format="pandas")
+            distinct_pairs, batch_format="pandas", batch_size=None)
     return (
         raw_pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .repartition(coalesce_blocks())

@@ -19,7 +19,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..functions.vectors import list_column_to_matrix
+from ..functions.vectors import list_column_to_matrix, topk_prune
 
 
 def _centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
@@ -87,9 +87,7 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
         mask = np.isin(assign, probe) & (ids != 0)
         ids, M = ids[mask], M[mask]
         sims = M @ v
-        if len(ids) > k:
-            idx = np.argpartition(-sims, k)[:k]
-            ids, sims = ids[idx], sims[idx]
+        ids, sims = topk_prune(ids, sims, k)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "score": pa.array(np.round(sims, 3), pa.float64()),
@@ -174,9 +172,7 @@ def knn_cosine_ivf_indexed(index_dir: str, query_vec: np.ndarray,
         if exclude_vec_id is not None:
             mask = ids != exclude_vec_id
             ids, sims = ids[mask], sims[mask]
-        if len(ids) > k:
-            idx = np.argpartition(-sims, k)[:k]
-            ids, sims = ids[idx], sims[idx]
+        ids, sims = topk_prune(ids, sims, k)
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "score": pa.array(np.round(sims, 3), pa.float64()),

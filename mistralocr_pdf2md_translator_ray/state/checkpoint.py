@@ -22,7 +22,6 @@ disk (computed from a readback, not from the in-flight stream).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -86,20 +85,17 @@ def _save_lineage(ckpt_dir: str, lineage: dict[int, dict]) -> None:
     os.replace(tmp, path)  # atomic: a crash never leaves partial lineage
 
 
-def _row_hash_sum(tbl: pa.Table, hash_cols: list[str]) -> int:
-    acc = 0
-    cols = [tbl[c].to_pylist() for c in hash_cols]
-    for vals in zip(*cols):
-        h = hashlib.blake2b("\x1f".join(str(v) for v in vals).encode("utf-8"),
-                            digest_size=8).digest()
-        acc = (acc + int.from_bytes(h, "little")) & 0xFFFFFFFFFFFFFFFF
-    return acc
-
-
 @ray.remote
 def _verify_partition(part_dir: str, hash_cols: list[str]) -> tuple[int, int]:
-    """Read a written partition back; return (row_count, content_hash)."""
+    """Read a written partition back; return (row_count, content_hash).
+
+    Hashing is vectorized (functions/hashing.py content_hash_sum —
+    the per-row blake2b loop was days of single-core-equivalent work at
+    10^12 rows); the hash-fn version is recorded in the lineage entry,
+    and ``part_id`` itself stays on crc32 (stability contract)."""
     import pyarrow.parquet as pq
+
+    from ..functions.hashing import content_hash_sum
 
     files = sorted(
         os.path.join(part_dir, f) for f in os.listdir(part_dir)
@@ -109,7 +105,7 @@ def _verify_partition(part_dir: str, hash_cols: list[str]) -> tuple[int, int]:
     for f in files:
         t = pq.read_table(f, columns=hash_cols)
         count += t.num_rows
-        acc = (acc + _row_hash_sum(t, hash_cols)) & 0xFFFFFFFFFFFFFFFF
+        acc = (acc + content_hash_sum(t, hash_cols)) & 0xFFFFFFFFFFFFFFFF
     return count, acc
 
 
@@ -169,13 +165,15 @@ def run_checkpointed(
     missing = [p for p in range(n_partitions) if p not in lineage]
 
     if missing:
+        import numpy as np
+
         missing_set = set(missing)
+        want = np.fromiter(sorted(missing_set), dtype=np.int64,
+                           count=len(missing_set))
 
         def only_missing(t: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [p in missing_set for p in t["part_id"].to_pylist()], pa.bool_()
-            )
-            return t.filter(mask)
+            pids = t["part_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(np.isin(pids, want)))
 
         pending = add_part_id(ds, key, n_partitions).map_batches(
             only_missing, batch_format="pyarrow"
@@ -202,11 +200,14 @@ def run_checkpointed(
             if not os.path.isdir(part_dir):
                 os.makedirs(part_dir, exist_ok=True)  # empty partition
             verify[p] = _verify_partition.remote(part_dir, hash_cols)
+        from ..functions.hashing import CONTENT_HASH_FN
+
         for p, ref in verify.items():
             count, chash = ray.get(ref)
             lineage[p] = {
                 "row_count": count,
                 "content_hash": f"{chash:016x}",
+                "hash_fn": CONTENT_HASH_FN,
                 "input_fragment": input_fragment,
             }
         _save_lineage(ckpt_dir, lineage)

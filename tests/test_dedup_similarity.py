@@ -255,6 +255,82 @@ class TestMultiBandLSH:
         assert len(removed) >= 20, f"recall too low: {len(removed)}/30"
 
 
+class TestKnnTieBreaks:
+    """Planted exact score ties straddling the k boundary: every kNN
+    path prunes through topk_prune (score desc, vec_id asc), so the
+    cut row set must be the lowest-id members of the tie group on all
+    four scorers — a bare argpartition would pick arbitrarily."""
+
+    @pytest.fixture(scope="class")
+    def tie_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("ties")
+        dim = 8
+        rng = np.random.default_rng(7)
+        # query direction
+        q = np.zeros(dim); q[0] = 1.0
+        # ids 1..30: THIRTY bit-identical vectors at cos ~0.894 to q —
+        # the whole top-k boundary falls inside this tie group
+        u = np.zeros(dim); u[0] = 2.0; u[1] = 1.0
+        # ids 31..60: strictly lower cosine, mutually distinct
+        low = rng.standard_normal((30, dim)) * 0.2
+        low[:, 0] = 0.3  # cos well below the tie group's
+        vecs = [q] + [u] * 30 + list(low)
+        emb = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([np.asarray(v, np.float32).tolist()
+                                   for v in vecs], pa.list_(pa.float32())),
+        })
+        pq.write_table(emb, str(d / "embeddings.parquet"))
+        return str(d)
+
+    EXPECT = list(range(1, 11))  # lowest ids of the tie group
+
+    def test_knn_cosine(self, tie_dir, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import knn_cosine
+
+        got = knn_cosine(tie_dir, k=10).to_pandas()
+        assert got["vec_id"].tolist() == self.EXPECT
+
+    def test_knn_cosine_multi(self, tie_dir, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import knn_cosine_multi
+
+        got = knn_cosine_multi(tie_dir, k=10, n_queries=1).to_pandas()
+        assert got.loc[got["query_id"] == 0, "vec_id"].tolist() == self.EXPECT
+
+    def test_knn_cosine_ivf(self, tie_dir, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.similarity import knn_cosine_ivf
+
+        got = knn_cosine_ivf(tie_dir, k=10, n_centroids=2, nprobe=2).to_pandas()
+        assert got["vec_id"].tolist() == self.EXPECT
+
+    def test_knn_cosine_ivf_indexed(self, tie_dir, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.similarity import (
+            build_ivf_index,
+            knn_cosine_ivf_indexed,
+        )
+
+        idx = str(tmp_path / "idx")
+        build_ivf_index(tie_dir, idx, n_centroids=2, seed=3)
+        qt = pq.read_table(f"{tie_dir}/embeddings.parquet",
+                           filters=[("vec_id", "==", 0)])
+        qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+        got = knn_cosine_ivf_indexed(idx, qv, k=10, nprobe=2,
+                                     exclude_vec_id=0).to_pandas()
+        assert got["vec_id"].tolist() == self.EXPECT
+
+    def test_topk_prune_unit(self):
+        from mistralocr_pdf2md_translator_ray.functions.vectors import topk_prune
+
+        ids = np.array([9, 3, 5, 1, 7], np.int64)
+        sims = np.array([0.5, 0.5, 0.5, 0.9, 0.5])
+        got_ids, got_sims = topk_prune(ids, sims, 3)
+        assert got_ids.tolist() == [1, 3, 5]  # best first, ties by id asc
+        assert got_sims.tolist() == [0.9, 0.5, 0.5]
+        # k >= n passes through untouched
+        same_ids, _ = topk_prune(ids, sims, 5)
+        assert same_ids.tolist() == ids.tolist()
+
+
 class TestIvfIndex:
     def test_build_then_query_prunes_partitions(self, tmp_path, ray_session):
         from mistralocr_pdf2md_translator_ray.pipelines.library import knn_cosine

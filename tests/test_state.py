@@ -100,6 +100,32 @@ class TestCheckpointResume:
         pd.testing.assert_frame_equal(out1, out2)  # identical final output
         assert sorted(load_lineage(ckpt)) == list(range(N_PARTS))
 
+    def test_legacy_lineage_format_resumes(self, tmp_path):
+        """Cross-format resume: a manifest written by the round-3 format
+        (per-row blake2b hashes, no hash_fn field) must still count its
+        partitions as done — resume keys on entry existence +
+        input_fragment, never on the hash-fn version."""
+        ckpt = str(tmp_path / "ckpt")
+        out1 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(str(tmp_path / "m1")),
+            ckpt, key="conv_id", n_partitions=N_PARTS))
+        lineage = load_lineage(ckpt)
+        assert all("hash_fn" in v for v in lineage.values())
+        # rewrite the manifest in the legacy shape
+        legacy = {str(k): {"row_count": v["row_count"],
+                           "content_hash": "deadbeef00000000",
+                           "input_fragment": v["input_fragment"]}
+                  for k, v in lineage.items()}
+        with open(os.path.join(ckpt, "_lineage.json"), "w") as f:
+            json.dump(legacy, f)
+
+        m2 = str(tmp_path / "m2")
+        out2 = _read_sorted(run_checkpointed(
+            rd.from_arrow(_input_table()), _transform_factory(m2), ckpt,
+            key="conv_id", n_partitions=N_PARTS))
+        assert not os.path.exists(m2)  # zero recompute
+        pd.testing.assert_frame_equal(out1, out2)
+
     def test_lineage_hash_matches_content(self, tmp_path):
         ckpt = str(tmp_path / "ckpt")
         ds = rd.from_arrow(_input_table())
@@ -251,6 +277,31 @@ class TestDocsPhaseCrashSafety:
             "conv_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(rerun, clean)  # no duplicated convs
         assert os.path.exists(os.path.join(docs_dir, "_done"))
+
+
+def test_content_hash_sum_properties():
+    """Vectorized content hash: order-insensitive, value-sensitive,
+    null-vs-string distinguishing, and chunk-layout independent."""
+    from mistralocr_pdf2md_translator_ray.functions.hashing import content_hash_sum
+
+    t = pa.table({
+        "a": pa.array(["x", "y", None, "None"]),
+        "b": pa.array([1, 2, 3, 4], pa.int32()),
+    })
+    cols = ["a", "b"]
+    h = content_hash_sum(t, cols)
+    # order-insensitive (sum of row hashes)
+    assert content_hash_sum(t.take([3, 1, 0, 2]), cols) == h
+    # value-sensitive
+    t2 = t.set_column(1, "b", pa.array([1, 2, 3, 5], pa.int32()))
+    assert content_hash_sum(t2, cols) != h
+    # a NULL must not collide with the string "None" (old str() path
+    # conflated them); swap rows 2/3 of "a" only — hash must change
+    t3 = t.set_column(0, "a", pa.array(["x", "y", "None", None]))
+    assert content_hash_sum(t3, cols) != h
+    # chunk layout independence
+    tc = pa.Table.from_batches(t.to_batches(max_chunksize=2))
+    assert content_hash_sum(tc, cols) == h
 
 
 def test_part_id_stable():
