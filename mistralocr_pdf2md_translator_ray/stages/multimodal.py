@@ -1,14 +1,20 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are ``binary`` columns with sidecar metadata
-(kind, dims). Decode is AUTO-PROBED: if a real codec is importable
-(Pillow for images, PyAV for video) the actors use it; in this
-container neither exists, so the deterministic blake2b-derived fake
-runs instead — the Ray-side plumbing (actor-pool signature, small batch
-sizes for wide binary rows, schema, output layout) is identical either
-way and is what the tests exercise. ``fake=True`` forces the fake,
-``fake=False`` demands a real codec (NotImplementedError without one),
-``fake=None`` (default) probes.
+(kind, dims). Decode is AUTO-PROBED, three rungs:
+
+1. a real codec if importable (Pillow for images, PyAV for video);
+2. for PNG payloads, the stdlib-only codec in ``functions/png.py``
+   (zlib inflate + unfilter) — REAL decode even in this codec-less
+   container, matching the reference's base64-PNG handling
+   (mistralocr_app.py:107,262-270);
+3. the deterministic blake2b-derived fake for everything else.
+
+The Ray-side plumbing (actor-pool signature, small batch sizes for wide
+binary rows, schema, output layout) is identical on every rung.
+``fake=True`` forces the fake; ``fake=False`` demands real decode
+(PNG via stdlib counts; other formats without a codec become
+error-as-value rows); ``fake=None`` (default) probes.
 """
 
 from __future__ import annotations
@@ -18,6 +24,15 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+from ..functions.png import (
+    PngError,
+    decode_png,
+    encode_png,
+    is_png,
+    resize_nearest,
+    to_gray,
+)
 
 FEATURE_DIM = 16
 
@@ -53,27 +68,34 @@ class PayloadFeatureActor:
     """
 
     def __init__(self, fake: bool | None = None) -> None:
-        # fake=None -> auto: real decode iff an image codec is importable;
-        # fake=False demands one (decode raises without it)
+        # fake=None -> auto: real decode when a codec rung applies
+        # (Pillow, or stdlib PNG for PNG payloads); fake=False demands
+        # real decode (non-PNG without Pillow raises -> error-as-value)
         self._codec = None if fake is True else probe_image_codec()
         self._fake = (self._codec is None) if fake is None else fake
+        self._mode = fake  # None=auto, True=force fake, False=demand real
         rng = np.random.default_rng(99)
         self._proj = rng.standard_normal((32, FEATURE_DIM))
 
     def _decode(self, blob: bytes) -> np.ndarray:
-        """Real path: PIL decode -> 8x4 grayscale thumbnail -> 32
-        floats. Fake path (this container has no codecs): hash the
-        payload into a deterministic 32-byte vector. Both feed the same
-        projection."""
-        if not self._fake:
-            if self._codec is None:
-                raise NotImplementedError(
-                    "payload decode requires an image codec (Pillow); "
-                    "not available here")
-            import io
+        """Decode -> 8x4 grayscale thumbnail -> 32 floats in [0,1].
+        Rungs: Pillow; stdlib PNG (functions/png.py); deterministic
+        blake2b fake. All three feed the same projection."""
+        if self._mode is not True:
+            if self._codec is not None:
+                import io
 
-            img = self._codec.open(io.BytesIO(blob)).convert("L").resize((8, 4))
-            return np.asarray(img, dtype=np.float64).reshape(32) / 255.0
+                img = self._codec.open(io.BytesIO(blob)).convert("L").resize((8, 4))
+                return np.asarray(img, dtype=np.float64).reshape(32) / 255.0
+            if is_png(blob):
+                # real decode on this container; PngError propagates to
+                # the caller's error-as-value handler
+                gray = to_gray(decode_png(blob))
+                return resize_nearest(gray, 8, 4).reshape(32) / 255.0
+            if self._mode is False:
+                raise NotImplementedError(
+                    "payload decode requires an image codec (Pillow) "
+                    "for non-PNG payloads; not available here")
         digest = hashlib.blake2b(blob or b"", digest_size=32).digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
 
@@ -86,7 +108,7 @@ class PayloadFeatureActor:
                 feats.append(np.round(decoded @ self._proj, 6).tolist())
                 sizes.append(len(blob) if blob is not None else 0)
                 statuses.append("ok")
-            except NotImplementedError as e:
+            except (NotImplementedError, PngError) as e:
                 feats.append([0.0] * FEATURE_DIM)
                 sizes.append(len(blob) if blob is not None else 0)
                 statuses.append(f"error: {e}")
@@ -129,19 +151,26 @@ class ImageResizeActor:
         self._w, self._h = int(width), int(height)
         self._codec = None if fake is True else probe_image_codec()
         self._fake = (self._codec is None) if fake is None else fake
+        self._mode = fake  # None=auto, True=force fake, False=demand real
 
     def _resize(self, blob: bytes) -> bytes:
-        if not self._fake:
-            if self._codec is None:
-                raise NotImplementedError(
-                    "image resize requires an image codec (Pillow); "
-                    "not available here")
-            import io
+        if self._mode is not True:
+            if self._codec is not None:
+                import io
 
-            img = self._codec.open(io.BytesIO(blob)).resize((self._w, self._h))
-            buf = io.BytesIO()
-            img.save(buf, format="PNG")
-            return buf.getvalue()
+                img = self._codec.open(io.BytesIO(blob)).resize((self._w, self._h))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+            if is_png(blob):
+                # stdlib rung: real decode -> nearest resample -> real
+                # PNG bytes out (PngError -> error-as-value upstream)
+                return encode_png(resize_nearest(decode_png(blob),
+                                                 self._w, self._h))
+            if self._mode is False:
+                raise NotImplementedError(
+                    "image resize requires an image codec (Pillow) "
+                    "for non-PNG payloads; not available here")
         seed = hashlib.blake2b(
             blob + f"{self._w}x{self._h}".encode(), digest_size=32).digest()
         # deterministic pseudo-pixels, 1 byte per target pixel
@@ -155,7 +184,7 @@ class ImageResizeActor:
             try:
                 out_blobs.append(self._resize(bytes(blob) if blob else b""))
                 statuses.append("ok")
-            except NotImplementedError as e:
+            except (NotImplementedError, PngError) as e:
                 out_blobs.append(b"")
                 statuses.append(f"error: {e}")
         return pa.table({
