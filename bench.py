@@ -55,6 +55,27 @@ def _ensure_corpus() -> tuple[str, str]:
     return t_dir, p_dir
 
 
+def _ensure_skew_corpus() -> tuple[str, str]:
+    """200k-turn corpus where ONE conversation holds 50% of all turns
+    (round-1 skew scenario) — the adaptive assembly's regression
+    surface, benched every round."""
+    from mistralocr_pdf2md_translator_ray.sources.transcripts import (
+        write_skewed_transcripts_parquet,
+    )
+
+    skew_dir = os.path.join(CORPUS_DIR, "skew")
+    t_dir = os.path.join(skew_dir, "transcripts")
+    p_dir = os.path.join(skew_dir, "payloads")
+    marker = os.path.join(skew_dir, "_complete")
+    if os.path.exists(marker):
+        return t_dir, p_dir
+    os.makedirs(skew_dir, exist_ok=True)
+    write_skewed_transcripts_parquet(
+        skew_dir, n_shards=8, turns_per_shard=25_000, convs_per_shard=50)
+    open(marker, "w").close()
+    return t_dir, p_dir
+
+
 def _consume(ds) -> int:
     """Exhaust a Dataset streaming-style; returns row count."""
     n = 0
@@ -145,6 +166,12 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     )[:8]
     timed("extract_documents_8shards", lambda: extract_documents(
         rd.read_parquet(sub_t), payloads_path=p_dir))
+
+    # pathological skew: one conversation = 50% of 200k turns; exercises
+    # the pre-extraction hot/cold split + two-phase salted assembly
+    skew_t, skew_p = _ensure_skew_corpus()
+    timed("extract_documents_skew", lambda: extract_documents(
+        rd.read_parquet(skew_t), payloads_path=skew_p))
 
     # --- library queries over the sf dir ------------------------------
     timed("q1_pricing_summary", lambda: lib.q1_pricing_summary(SF_DIR))
@@ -241,8 +268,33 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """Skew scenario only (for iterating on assembly strategies)."""
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+        extract_documents,
+    )
+
+    skew_t, skew_p = _ensure_skew_corpus()
+    t0 = time.perf_counter()
+    n = _consume(extract_documents(rd.read_parquet(skew_t),
+                                   payloads_path=skew_p))
+    sec = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return {"metric": "extract_documents over 50%-hot skew corpus",
+            "value": sec, "unit": "sec", "rows": n, "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))

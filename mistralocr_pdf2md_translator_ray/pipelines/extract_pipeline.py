@@ -452,86 +452,34 @@ def extract_documents(
     (doc_md + doc_md_original — the reference's dual
     original/translated outputs, mistralocr_app.py:714-717).
 
-    Assembly is ADAPTIVE, decided BEFORE extraction: conversations past
-    ``hot_threshold`` turns are split off the raw input and routed
-    through the two-phase salted assembly; everything else takes the
-    single-phase groupby (always-salting measured 2.7x the single-phase
-    when no group outgrows a task — see stages/assemble.py). Hot
-    detection counts the RAW input's ``conv_id`` column (turn counts
-    are invariant under extraction), so the expensive extraction stream
-    is consumed exactly once per row and NEVER materialized — the
-    round-3 design materialized the entire per-turn output before a
-    3-consumption scan, a full-corpus object-store spill at scale.
+    Assembly is ADAPTIVE, decided BEFORE extraction: hot detection
+    counts the RAW input's ``conv_id`` column (turn counts are
+    invariant under extraction — errors are values, rows are never
+    dropped), so the expensive extraction stream is consumed exactly
+    once and NEVER materialized. The known hot set then drives ONE
+    hot-aware assembly shuffle (``assemble_conversations_hotaware``):
+    cold conversations finalize in phase 1; only hot conversations'
+    doc-level partials take the tiny phase-2 shuffle. The earlier
+    design split the raw input into concurrent cold/hot extraction
+    branches with fractional actor pools — two assembly shuffles and
+    double input scans measured 2.2x slower than extract-once on the
+    50%%-hot skew corpus.
 
     Assumes ``transcripts`` (and ``payloads``, if a Dataset) are
-    cheaply re-consumable — a parquet read or in-memory Dataset. The
-    checkpointed path (pipelines/job.py) instead re-reads its
-    checkpoint parquet via ``assemble_conversations_adaptive``.
+    cheaply re-consumable — a parquet read or in-memory Dataset (the
+    hot scan re-reads only ``conv_id``). The checkpointed path
+    (pipelines/job.py) instead re-reads its checkpoint parquet via
+    ``assemble_conversations_adaptive``.
 
     ``salt_span=None`` forces single-phase for every conversation."""
-    import pyarrow as pa
-    import ray
+    from ..stages.assemble import assemble_conversations_hotaware
 
+    turns = extract_turns(transcripts, payloads,
+                          payloads_path=payloads_path,
+                          emit_original=emit_original)
     if salt_span is None:
-        turns = extract_turns(transcripts, payloads,
-                              payloads_path=payloads_path,
-                              emit_original=emit_original)
         return assemble_conversations(turns, salt_span=None,
                                       include_original=emit_original)
-
     hot = _hot_conversations(transcripts, hot_threshold)
-    if not hot:
-        turns = extract_turns(transcripts, payloads,
-                              payloads_path=payloads_path,
-                              emit_original=emit_original)
-        return assemble_conversations(turns, salt_span=None,
-                                      include_original=emit_original)
-
-    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
-
-    def split(t: pa.Table, want_hot: bool) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(t["conv_id"], value_set=ray.get(hot_ref))
-        return t.filter(mask if want_hot else pc.invert(mask))
-
-    cold_t = transcripts.map_batches(
-        lambda t: split(t, False), batch_format="pyarrow")
-    hot_t = transcripts.map_batches(
-        lambda t: split(t, True), batch_format="pyarrow")
-
-    # Child side: ONE child-extraction run shared by both branches.
-    # Overlapped-broadcast inputs share the partial-map ObjectRefs;
-    # Dataset payloads are split by the same hot set so each payload
-    # row is extracted by exactly one branch.
-    shared_refs = None
-    if payloads_path is not None:
-        files = _payload_files(payloads_path)
-        if files and _parquet_meta_rows(files) <= BROADCAST_CHILD_MAX_ROWS:
-            shared_refs = _child_partial_refs(files)
-            payloads = None
-        elif files:
-            payloads = rd.read_parquet(files)
-        elif payloads is None:
-            payloads = rd.read_parquet(payloads_path)
-    cold_p = hot_p = None
-    if shared_refs is None and payloads is not None:
-        cold_p = payloads.map_batches(
-            lambda t: split(t, False), batch_format="pyarrow")
-        hot_p = payloads.map_batches(
-            lambda t: split(t, True), batch_format="pyarrow")
-
-    # Pool fractions: the branches run concurrently under the union;
-    # full-size fixed pools on both would demand 1.5x the cluster and
-    # starve the task stages (CLAUDE.md invariant). Cold typically
-    # carries most rows.
-    cold_turns = extract_turns(cold_t, cold_p, emit_original=emit_original,
-                               child_refs=shared_refs, pool_fraction=0.5)
-    hot_turns = extract_turns(hot_t, hot_p, emit_original=emit_original,
-                              child_refs=shared_refs, pool_fraction=0.25)
-    cold_docs = assemble_conversations(cold_turns, salt_span=None,
-                                       include_original=emit_original)
-    hot_docs = assemble_conversations(hot_turns, salt_span=salt_span,
-                                      num_buckets=16,
-                                      include_original=emit_original)
-    return cold_docs.union(hot_docs)
+    return assemble_conversations_hotaware(turns, hot, salt_span=salt_span,
+                                           include_original=emit_original)

@@ -296,3 +296,79 @@ def write_transcripts_parquet(
 
     ray.get([_shard.remote(i) for i in range(n_shards)])
     return t_dir, p_dir
+
+
+def write_skewed_transcripts_parquet(
+    out_dir: str,
+    n_shards: int = 8,
+    turns_per_shard: int = 25_000,
+    convs_per_shard: int = 50,
+    seed: int = 42,
+) -> tuple[str, str]:
+    """Pathological-skew bench corpus: ONE conversation holds ~50% of
+    ALL turns (the round-1 skew scenario), spread across half the
+    shards so its rows arrive from many input files — exactly the shape
+    the adaptive salted assembly exists for. The other half of the
+    shards are normal zipf-ish conversations (with payloads).
+
+    Deterministic like ``write_transcripts_parquet``: each shard
+    re-seeds from (seed, shard). Returns (transcripts_dir, payloads_dir).
+    """
+    import os
+
+    import ray
+
+    t_dir = os.path.join(out_dir, "transcripts")
+    p_dir = os.path.join(out_dir, "payloads")
+    os.makedirs(t_dir, exist_ok=True)
+    os.makedirs(p_dir, exist_ok=True)
+    n_normal = n_shards // 2
+
+    @ray.remote
+    def _normal_shard(i: int) -> None:
+        import pyarrow.parquet as pq
+
+        t, p = generate_transcripts(
+            n_convs=convs_per_shard,
+            n_turns=turns_per_shard,
+            seed=hash((seed, i)) & 0x7FFFFFFF,
+            hot_conv=False,
+        )
+        for tbl, path in ((t, t_dir), (p, p_dir)):
+            conv = pa.compute.binary_join_element_wise(
+                f"s{i:04d}-", tbl["conv_id"].combine_chunks(), ""
+            )
+            tbl = tbl.set_column(tbl.schema.get_field_index("conv_id"), "conv_id", conv)
+            pq.write_table(tbl, os.path.join(path, f"part-{i:05d}.parquet"))
+
+    @ray.remote
+    def _hot_shard(i: int) -> None:
+        """One contiguous turn_idx range of the single hot conversation."""
+        import pyarrow.parquet as pq
+
+        rng = random.Random(hash((seed, "hot", i)) & 0x7FFFFFFF)
+        start = (i - n_normal) * turns_per_shard
+        rows = {k: [] for k in TRANSCRIPT_SCHEMA.names}
+        ts_us = int(_EPOCH.timestamp() * 1_000_000) + start * 2_000_000
+        for ti in range(start, start + turns_per_shard):
+            ts_us += rng.randint(1_000, 1_999_999)
+            kind = rng.random()
+            if kind < 0.4:
+                text, tool = _markdown_turn(rng, []), "markdown"
+            elif kind < 0.75:
+                text, tool = _html_turn(rng, []), "html"
+            else:
+                text, tool = _layout_turn(rng), "pdf_layout"
+            rows["conv_id"].append("hot-conv")
+            rows["turn_idx"].append(ti)
+            rows["role"].append(_ROLES[ti % 3])
+            rows["text"].append(text)
+            rows["tool"].append(tool)
+            rows["ts"].append(ts_us)
+        rows["ts"] = pa.array(rows["ts"], type=pa.timestamp("us"))
+        pq.write_table(pa.table(rows, schema=TRANSCRIPT_SCHEMA),
+                       os.path.join(t_dir, f"part-{i:05d}.parquet"))
+
+    ray.get([_normal_shard.remote(i) for i in range(n_normal)]
+            + [_hot_shard.remote(i) for i in range(n_normal, n_shards)])
+    return t_dir, p_dir

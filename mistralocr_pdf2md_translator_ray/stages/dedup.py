@@ -297,8 +297,9 @@ def _keep_after_pairs(docs: "rd.Dataset", pairs: "rd.Dataset") -> "rd.Dataset":
 
 
 def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
-                   num_buckets: int = 64) -> "rd.Dataset":
-    """band_key rows -> Dataset of distinct candidate pairs (a, b).
+                   num_buckets: int = 64) -> tuple["rd.Dataset", int]:
+    """band_key rows -> (Dataset of distinct candidate pairs (a, b),
+    raw pre-dedupe pair count).
 
     Groups by ``hash(band_key) % B`` (B map_groups calls total — never
     one per band, since almost every band bucket has exactly one member
@@ -307,6 +308,11 @@ def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
     pairs for one colliding band's rows. The same pair surfaces once per
     colliding band, so a second bucketed combine (keyed on ``a``)
     deduplicates distributed — the pair set never lands on the driver.
+
+    The returned raw count is an UPPER BOUND on the distinct-pair count;
+    downstream gates (verify range-sort, union-find routing) reuse it so
+    they don't re-materialize the stream just to re-count it — each
+    dedup run pays exactly one pre-clustering pipeline execution.
     """
     from ..functions.hashing import bucket_ids
 
@@ -347,12 +353,13 @@ def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
     # driver); above it, a bucketed combine keyed on `a`
     raw_pairs = raw_pairs.map_batches(
         _ensure_pair_schema, batch_format="pyarrow").materialize()
-    if raw_pairs.count() <= _SMALL_PAIRS_MAX:
+    n_raw = raw_pairs.count()  # metadata-only on a materialized Dataset
+    if n_raw <= _SMALL_PAIRS_MAX:
         # batch_size=None: the UDF must see the single repartitioned
         # block WHOLE, or drop_duplicates runs per default-sized batch
         # and duplicate pairs survive the "distinct" stage
         return raw_pairs.repartition(1).map_batches(
-            distinct_pairs, batch_format="pandas", batch_size=None)
+            distinct_pairs, batch_format="pandas", batch_size=None), n_raw
     return (
         raw_pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .repartition(coalesce_blocks())
@@ -362,7 +369,7 @@ def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
         # for empty partitions; coerce every block to the (a, b) schema
         # so downstream sorts / map_batches never see a degenerate block
         .map_batches(_ensure_pair_schema, batch_format="pyarrow")
-    )
+    ), n_raw
 
 
 def _ensure_pair_schema(t: pa.Table) -> pa.Table:
@@ -387,7 +394,14 @@ def _all_pairs(sub: pd.DataFrame):
 _VERIFY_SORT_MIN_PAIRS = 100_000
 
 
-def _sorted_pair_blocks(pairs: "rd.Dataset") -> "rd.Dataset":
+def _sorted_pair_blocks(pairs: "rd.Dataset",
+                        n_upper: int | None = None) -> "rd.Dataset":
+    """Range-sort pairs for verify row-group locality — but only past
+    the threshold. ``n_upper`` (the raw pre-dedupe count from
+    ``_pairs_dataset``) lets the small case skip the materialize+count
+    entirely and stream straight into verification."""
+    if n_upper is not None and n_upper < _VERIFY_SORT_MIN_PAIRS:
+        return pairs
     pairs = pairs.materialize()
     n = pairs.count()
     if n == 0 or n < _VERIFY_SORT_MIN_PAIRS:
@@ -397,7 +411,8 @@ def _sorted_pair_blocks(pairs: "rd.Dataset") -> "rd.Dataset":
 
 def _verify_jaccard_ds(doc_path: str, pairs: "rd.Dataset", shingle_fn,
                        threshold: float,
-                       batch_size: int = 4096) -> "rd.Dataset":
+                       batch_size: int = 4096,
+                       n_upper: int | None = None) -> "rd.Dataset":
     """Exact-verify candidate pairs as a map_batches stage over pair
     blocks. Pairs are range-sorted by (a, b) first so each batch's doc
     set is id-clustered and its parquet predicate scan touches few row
@@ -423,12 +438,13 @@ def _verify_jaccard_ds(doc_path: str, pairs: "rd.Dataset", shingle_fn,
             dtype=bool, count=len(a))
         return t.filter(pa.array(mask))
 
-    return _sorted_pair_blocks(pairs).map_batches(
+    return _sorted_pair_blocks(pairs, n_upper).map_batches(
         verify, batch_format="pyarrow", batch_size=batch_size)
 
 
 def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
-                      batch_size: int = 4096) -> "rd.Dataset":
+                      batch_size: int = 4096,
+                      n_upper: int | None = None) -> "rd.Dataset":
     """Exact cosine verification over pair blocks: each batch reads ONLY
     its colliding vectors by parquet predicate pushdown and scores the
     pairs with one vectorized gather + row-wise dot — the embeddings
@@ -455,7 +471,7 @@ def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
         sims = np.einsum("ij,ij->i", M[ia], M[ib])
         return t.filter(pa.array(sims >= threshold))
 
-    return _sorted_pair_blocks(pairs).map_batches(
+    return _sorted_pair_blocks(pairs, n_upper).map_batches(
         verify, batch_format="pyarrow", batch_size=batch_size)
 
 
@@ -477,10 +493,10 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> "rd.Da
                          "doc_id": pa.array(ids, pa.int64())})
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
-    pairs = _pairs_dataset(buckets, _all_pairs)
+    pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
     verified = _verify_jaccard_ds(
         os.path.join(sf_dir, "documents.parquet"), pairs, char_shingles,
-        threshold)
+        threshold, n_upper=n_raw)
     return _keep_after_pairs(docs, verified)
 
 
@@ -500,10 +516,10 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.7, seed: int = 7) -> "rd.Datas
                          "doc_id": pa.array(ids, pa.int64())})
 
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
-    pairs = _pairs_dataset(buckets, _all_pairs)
+    pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
     verified = _verify_jaccard_ds(
         os.path.join(sf_dir, "documents.parquet"), pairs, word_ngrams,
-        threshold)
+        threshold, n_upper=n_raw)
     return _keep_after_pairs(docs, verified)
 
 
@@ -548,7 +564,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
                 if rows[i][0] != rows[j][0] and hamming64(ha, hb) <= max_hamming:
                     yield rows[i][0], rows[j][0]
 
-    verified = _pairs_dataset(buckets, hamming_pairs)
+    verified, _n_raw = _pairs_dataset(buckets, hamming_pairs)
     return _keep_after_pairs(docs, verified)
 
 
@@ -568,9 +584,17 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
-    # probe dim from one row, then broadcast the per-band plane stacks
-    first = ds.take(1)[0]["embedding"]
-    dim = len(first)
+    # probe dim from the parquet schema (fixed-size list) or one
+    # driver-side record batch — never a Ray execution round trip
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(emb_path)
+    etype = pf.schema_arrow.field("embedding").type
+    if pa.types.is_fixed_size_list(etype):
+        dim = etype.list_size
+    else:
+        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        dim = len(first["embedding"][0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands, dim, planes_per_band))
     planes_ref = ray.put(planes)
@@ -595,8 +619,8 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
         })
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
-    pairs = _pairs_dataset(buckets, _all_pairs)
-    verified = _verify_cosine_ds(emb_path, pairs, threshold)
+    pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
+    verified = _verify_cosine_ds(emb_path, pairs, threshold, n_upper=n_raw)
     keep_docs = ds.map_batches(
         lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
         batch_format="pyarrow",
