@@ -170,7 +170,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_counts": lib.hourly_counts,
         "hopping_counts": lib.hopping_counts,
         "rolling_avg_value": lib.rolling_avg_value,
+        "rolling_max_value": lib.rolling_max_value,
         "running_user_value": lib.running_user_value,
+        "user_value_delta": lib.user_value_delta,
+        "first_last_event": lib.first_last_event,
+        "user_event_paths": lib.user_event_paths,
+        "qty_discount_corr": lib.qty_discount_corr,
         "asof_purchase_click": lib.asof_purchase_click,
         "clicks_before_purchase": lib.clicks_before_purchase,
         "approx_distinct_users": lib.approx_distinct_users,
@@ -254,7 +259,12 @@ def oracle_sql() -> dict[str, str]:
         "hourly_counts": lib.HOURLY_COUNTS_SQL,
         "hopping_counts": lib.HOPPING_COUNTS_SQL,
         "rolling_avg_value": lib.ROLLING_AVG_SQL,
+        "rolling_max_value": lib.ROLLING_MAX_SQL,
         "running_user_value": lib.RUNNING_USER_VALUE_SQL,
+        "user_value_delta": lib.USER_VALUE_DELTA_SQL,
+        "first_last_event": lib.FIRST_LAST_EVENT_SQL,
+        "user_event_paths": lib.USER_EVENT_PATHS_SQL,
+        "qty_discount_corr": lib.QTY_DISCOUNT_CORR_SQL,
         "asof_purchase_click": lib.ASOF_SQL,
         # approx_distinct_users: HLL sketch, approximate by design ->
         # rows-only check (error bound asserted in pytest)

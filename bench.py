@@ -197,7 +197,12 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("part_brand_stats", lambda: lib.part_brand_stats(SF_DIR))
     timed("orders_by_month", lambda: lib.orders_by_month(SF_DIR))
     timed("rolling_avg_value", lambda: lib.rolling_avg_value(SF_DIR))
+    timed("rolling_max_value", lambda: lib.rolling_max_value(SF_DIR))
     timed("running_user_value", lambda: lib.running_user_value(SF_DIR))
+    timed("user_value_delta", lambda: lib.user_value_delta(SF_DIR))
+    timed("first_last_event", lambda: lib.first_last_event(SF_DIR))
+    timed("user_event_paths", lambda: lib.user_event_paths(SF_DIR))
+    timed("qty_discount_corr", lambda: lib.qty_discount_corr(SF_DIR))
     timed("approx_distinct_users", lambda: lib.approx_distinct_users(SF_DIR))
     timed("approx_value_quantiles", lambda: lib.approx_value_quantiles(SF_DIR))
     timed("median_value_by_type", lambda: lib.median_value_by_type(SF_DIR))

@@ -2444,3 +2444,242 @@ ORDER BY list_cosine_similarity(
            (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered-window family round 4: lead/lag delta, arg-min/arg-max,
+# ordered string_agg, rolling max — plus exact grouped correlation.
+# All bucketed by key hash (vectorized combine per bucket, never one
+# UDF call per key) with deterministic (ts, event_id) ordering.
+# ---------------------------------------------------------------------------
+
+def user_value_delta(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
+    """lag() window: per user in ts order, value minus previous value.
+    First event per user keeps NULL (SQL lag semantics). Subtraction of
+    two doubles is a single exact IEEE op — identical both engines."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        g["delta"] = g["value"] - g.groupby("user_id", sort=False)["value"].shift(1)
+        return g[["event_id", "user_id", "ts", "delta"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+USER_VALUE_DELTA_SQL = """
+SELECT event_id, user_id, ts,
+       value - lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+"""
+
+
+def first_last_event(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
+    """arg-min/arg-max aggregate: per user, the event_type of the
+    earliest and latest event plus the count. Partial per batch (one
+    candidate row per user per batch), bucketed combine — the shuffle
+    moves one row per (user, batch), never per event."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        first = g.head(1).rename(columns={
+            "ts": "first_ts", "event_id": "first_id",
+            "event_type": "first_type"})
+        last = g.tail(1).rename(columns={
+            "ts": "last_ts", "event_id": "last_id",
+            "event_type": "last_type"})
+        n = g.size().reset_index(name="n")
+        out = first.merge(last, on="user_id").merge(n, on="user_id")
+        out["b"] = bucket_ids_np(out["user_id"].to_numpy(), num_buckets)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "first_ts", "first_id"],
+                          kind="mergesort")
+        first = g.groupby("user_id", sort=False).head(1)[
+            ["user_id", "first_type"]]
+        g2 = g.sort_values(["user_id", "last_ts", "last_id"],
+                           kind="mergesort")
+        last = g2.groupby("user_id", sort=False).tail(1)[
+            ["user_id", "last_type"]]
+        n = g.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+        out = first.merge(last, on="user_id").merge(n, on="user_id")
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "first_type", "last_type", "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+FIRST_LAST_EVENT_SQL = """
+SELECT user_id,
+       min_by(event_type, ts) AS first_type,
+       max_by(event_type, ts) AS last_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY user_id
+"""
+
+
+def user_event_paths(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
+    """Ordered string_agg: per user, event types joined with '>' in
+    (ts, event_id) order — the SQL-checkable mirror of the assembly
+    operator's ordered-concat semantics (SURVEY.md A2)."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = g.groupby("user_id", sort=False).agg(
+            path=("event_type", ">".join)).reset_index()
+        return out[["user_id", "path"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+USER_EVENT_PATHS_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events
+GROUP BY user_id
+"""
+
+
+def rolling_max_value(sf_dir: str, window: int = 10,
+                      num_buckets: int = 32) -> "rd.Dataset":
+    """Rolling max window: per user in ts order, max(value) over the
+    last ``window`` rows. Max carries no float-summation hazard, so
+    raw doubles round-trip exactly."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.reset_index(drop=True)
+        g["rolling_max"] = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(window, min_periods=1).max().reset_index(drop=True)
+        )
+        return g[["event_id", "user_id", "ts", "rolling_max"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+ROLLING_MAX_SQL = """
+SELECT event_id, user_id, ts,
+       max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+           AS rolling_max
+FROM events
+"""
+
+
+def qty_discount_corr(sf_dir: str) -> "rd.Dataset":
+    """Exact grouped Pearson correlation of (l_quantity, l_discount)
+    per l_returnflag. Every moment is an exact int64 sum of integer
+    units (qty_u = floor(q*100+0.5) <= 5100, disc_u <= 10 — products
+    fit int64 at any realistic scale); the correlation formula then
+    runs the identical float expression both engines. Partial moments
+    per batch -> tiny final groupby: the shuffle moves six int64s per
+    (key, batch)."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"]
+        d = t["l_discount"]
+        half = pa.scalar(0.5)
+        qu = pc.floor(pc.add(pc.multiply(q, pa.scalar(100.0)), half)).cast(pa.int64())
+        du = pc.floor(pc.add(pc.multiply(d, pa.scalar(100.0)), half)).cast(pa.int64())
+        tt = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "sx": qu, "sy": du,
+            "sxx": pc.multiply(qu, qu), "syy": pc.multiply(du, du),
+            "sxy": pc.multiply(qu, du),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = pa.TableGroupBy(tt, ["l_returnflag"]).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
+             ("syy", "sum"), ("sxy", "sum"), ("n", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "sx", "sy", "sxx", "syy", "sxy", "n"])
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    final = partials.groupby("l_returnflag").aggregate(
+        Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+        Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+        Sum("sxy", alias_name="sxy"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("float64")
+        sx = df["sx"].astype("float64")
+        sy = df["sy"].astype("float64")
+        cov = n * df["sxy"].astype("float64") - sx * sy
+        vx = n * df["sxx"].astype("float64") - sx * sx
+        vy = n * df["syy"].astype("float64") - sy * sy
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "corr_qty_disc": (cov / (np.sqrt(vx) * np.sqrt(vy))).round(6),
+            "n": df["n"].astype("int64"),
+        })
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+QTY_DISCOUNT_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(sum(qu) AS DOUBLE) AS sx, CAST(sum(du) AS DOUBLE) AS sy,
+         CAST(sum(qu * qu) AS DOUBLE) AS sxx,
+         CAST(sum(du * du) AS DOUBLE) AS syy,
+         CAST(sum(qu * du) AS DOUBLE) AS sxy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT l_returnflag,
+           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qu,
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS du
+    FROM lineitem
+  )
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+           AS corr_qty_disc,
+       n
+FROM m
+"""
