@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: text analysis + dedup family
         "token_counts": lib.token_counts,
         "dedup_exact": lib.dedup_exact,
+        "corpus_prep": lib.corpus_prep,
         "doc_stats": lib.doc_stats,
         "text_char_metrics": lib.text_char_metrics,
         "top_tokens": lib.top_tokens,
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_month": lib.ORDERS_BY_MONTH_SQL,
         "token_counts": lib.TOKEN_COUNTS_SQL,
         "dedup_exact": lib.DEDUP_EXACT_SQL,
+        "corpus_prep": lib.CORPUS_PREP_SQL,
         "doc_stats": lib.DOC_STATS_SQL,
         "text_char_metrics": lib.TEXT_CHAR_METRICS_SQL,
         "top_tokens": lib.TOP_TOKENS_SQL,

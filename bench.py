@@ -186,6 +186,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("clicks_before_purchase", lambda: lib.clicks_before_purchase(SF_DIR))
     timed("token_counts", lambda: lib.token_counts(SF_DIR))
     timed("dedup_exact", lambda: lib.dedup_exact(SF_DIR))
+    timed("corpus_prep", lambda: lib.corpus_prep(SF_DIR))
     timed("dedup_minhash", lambda: dd.dedup_minhash(SF_DIR))
     timed("knn_cosine", lambda: lib.knn_cosine(SF_DIR))
     timed("doc_stats", lambda: lib.doc_stats(SF_DIR))
@@ -241,6 +242,32 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
           lambda: _entry.queries()["knn_cosine_ivf_indexed"](SF_DIR))
 
 
+def _burn(_):
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return time.perf_counter() - t0
+
+
+def _effective_cores(n: int = 32) -> float:
+    """Measured parallel capacity: n concurrent single-core burners;
+    effective cores = total CPU-seconds / wall. This host is a stolen
+    hypervisor guest — nominal 32 vCPUs sometimes deliver ~14-27
+    effective cores, which caps any 8->32 scaling measurement taken in
+    that window (the 32-CPU leg physically cannot use 32 cores while
+    the 8-CPU leg is unaffected). Reported alongside the efficiency so
+    the artifact carries its own context."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    seq = _burn(0)
+    t0 = time.perf_counter()
+    with ProcessPoolExecutor(n) as ex:
+        list(ex.map(_burn, range(n)))
+    wall = time.perf_counter() - t0
+    return round(n * seq / wall, 1)
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes at 8 and 32 CPUs (N vs 4N proxy).
     Headline-only; best-of-2 per level (this host shows 10-30%% CPU
@@ -258,7 +285,9 @@ def run_scaling() -> dict:
         a, b = run_once(ncpu), run_once(ncpu)
         return a if a["value"] <= b["value"] else b
 
+    cores_before = _effective_cores()
     lo, hi = run(8), run(32)
+    cores_after = _effective_cores()
     tput_lo = lo["turns_per_sec"]
     tput_hi = hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (32 / 8)
@@ -270,6 +299,10 @@ def run_scaling() -> dict:
         "turns_per_sec_32": tput_hi,
         "scaling_efficiency": round(eff, 3),
         "corpus_turns": hi["corpus_turns"],
+        # hypervisor capacity context: of the 32 nominal vCPUs, how
+        # many the host actually delivered around this measurement
+        "effective_cores_before": cores_before,
+        "effective_cores_after": cores_after,
     }
 
 

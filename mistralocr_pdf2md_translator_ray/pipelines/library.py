@@ -2683,3 +2683,83 @@ SELECT l_returnflag,
        n
 FROM m
 """
+
+
+def corpus_prep(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
+    """Composed training-data pipeline (the C4-style prep chain):
+    quality filter -> exact dedup -> deterministic sample, end-to-end
+    SQL-checkable.
+
+    1. quality gate: 50 <= n_chars <= 20000, punct ratio <= 0.3 and
+       digit ratio <= 0.3 — compared as INTEGER cross-products
+       (n_punct*10 <= n_chars*3), so both engines decide every row
+       identically with no float thresholds;
+    2. exact dedup on text (keep min doc_id per distinct text; the
+       survivor's n_chars is well-defined because identical text has
+       identical metrics) via the bucketed content-hash combine;
+    3. deterministic 80%% sample (doc_id %% 5 < 4) — shuffle-free and
+       reproducible.
+
+    One pass computes metrics + filter + per-batch dedup partials, so
+    the shuffle moves one row per distinct surviving text per batch."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    from ..functions.hashing import bucket_ids
+    from ..functions.textstats import content_hash
+
+    punct = r"[!-/:-@\[-`{-~]"
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        n_chars = df["text"].str.len().astype("int64")
+        n_punct = df["text"].str.count(punct).astype("int64")
+        n_digits = df["text"].str.count(r"[0-9]").astype("int64")
+        keep = (n_chars.between(50, 20000)
+                & (n_punct * 10 <= n_chars * 3)
+                & (n_digits * 10 <= n_chars * 3))
+        df = df.loc[keep].assign(n_chars=n_chars[keep])
+        h = [content_hash(s) for s in df["text"]]
+        agg = (df.assign(h=h)
+               .groupby("h", as_index=False)
+               .agg(doc_id=("doc_id", "min"), n_chars=("n_chars", "min"),
+                    n_dups=("doc_id", "size")))
+        out = pa.Table.from_pandas(agg, preserve_index=False)
+        return out.append_column("b", bucket_ids(out["h"], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_chars=("n_chars", "min"),
+            n_dups=("n_dups", "sum"))
+        out = out[out["doc_id"] % 5 < 4]
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out[["doc_id", "n_chars", "n_dups"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+CORPUS_PREP_SQL = r"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT)
+             AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+  FROM documents
+),
+f AS (
+  SELECT * FROM m
+  WHERE n_chars BETWEEN 50 AND 20000
+    AND n_punct * 10 <= n_chars * 3
+    AND n_digits * 10 <= n_chars * 3
+),
+d AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+         CAST(min(n_chars) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_dups
+  FROM f GROUP BY text
+)
+SELECT doc_id, n_chars, n_dups FROM d WHERE doc_id % 5 < 4
+"""
