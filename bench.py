@@ -164,8 +164,14 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     sub_t = sorted(
         os.path.join(t_dir, f) for f in os.listdir(t_dir) if f.endswith(".parquet")
     )[:8]
+    # matching payload shards: a user extracting 8 transcript shards
+    # passes those shards' payloads, not the whole corpus's (the shard
+    # prefix makes conv ids disjoint across shards)
+    sub_p = sorted(
+        os.path.join(p_dir, f) for f in os.listdir(p_dir) if f.endswith(".parquet")
+    )[:8]
     timed("extract_documents_8shards", lambda: extract_documents(
-        rd.read_parquet(sub_t), payloads_path=p_dir))
+        rd.read_parquet(sub_t), payloads_path=sub_p))
 
     # pathological skew: one conversation = 50% of 200k turns; exercises
     # the pre-extraction hot/cold split + two-phase salted assembly

@@ -74,13 +74,19 @@ def _broadcast_child_map(child_mat: "ray.data.Dataset"):
     return ray.put(cmap)
 
 
-def _payload_files(payloads_path: str) -> list[str]:
+def _payload_files(payloads_path) -> list[str]:
     """Top-level parquet files under a LOCAL payloads path (the
     overlapped raw-task path's listing; non-local URIs and nested
     layouts return [] and route through ``ray.data.read_parquet``,
-    which resolves them itself)."""
+    which resolves them itself). Accepts a directory, a single file,
+    or an explicit list of files (callers extracting a shard subset
+    pass the matching payload shards so child extraction isn't run
+    for conversations outside the subset)."""
     import os
 
+    if isinstance(payloads_path, (list, tuple)):
+        return [f for f in payloads_path
+                if f.endswith(".parquet") and os.path.exists(f)]
     if os.path.isdir(payloads_path):
         return sorted(
             os.path.join(payloads_path, f)
@@ -190,6 +196,13 @@ def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict,
     # +12% at 4096 vs 1024 on ~1-2KB turns); for corpora with very wide
     # turns lower this so batch bytes x pool size fits worker heaps
     solo_pool["batch_size"] = 4096
+    # One map task per input BLOCK: a read of few large single-row-group
+    # files yields fewer blocks than actors and starves the pool (8
+    # files / 24 actors ran at 1/4 throughput). target_num_rows_per_block
+    # splits only blocks LARGER than the target — minimal movement, a
+    # pass-through for already-fine inputs (the 48-shard headline).
+    transcripts = transcripts.repartition(
+        target_num_rows_per_block=2 * solo_pool["batch_size"])
     return transcripts.map_batches(
         ExtractFinalizeBroadcast,
         batch_format="pyarrow",
@@ -398,14 +411,23 @@ def extract_turns(
 
 
 def _hot_conversations(transcripts: "ray.data.Dataset",
-                       hot_threshold: int) -> set:
+                       hot_threshold: int,
+                       driver_cap: int = 2_000_000) -> set:
     """Conversations longer than ``hot_threshold`` turns, counted on the
     RAW transcript input (``conv_id`` column only). Turn counts are
     invariant under extraction — errors are values, rows are never
     dropped (SURVEY.md §1.1) — so hot detection never consumes the
-    expensive extraction stream. Bucketed reduce: no task holds a row
-    per conversation, and the driver only ever collects the (almost
-    always tiny) hot set."""
+    expensive extraction stream.
+
+    ADAPTIVE combine: the per-batch partials (one row per (batch,
+    conv)) stream to the driver and combine in one vectorized
+    groupby — bounded by ``driver_cap`` partial rows (<= 100 MB).
+    Past the cap (billions of conversations), it bails to the
+    distributed bucketed reduce, which re-executes the conv_id scan
+    but never holds a row per conversation in any one heap. The
+    driver path removes the bucketed reduce's fixed costs
+    (repartition + sort groupby, ~2-3 s) from every normal-scale run."""
+    import pandas as pd
     import pyarrow as pa
 
     from ..functions.hashing import bucket_ids
@@ -416,11 +438,27 @@ def _hot_conversations(transcripts: "ray.data.Dataset",
         # (test-only path — production thresholds are >= thousands)
         return set(transcripts.unique("conv_id"))
 
+    def batch_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("conv_id", as_index=False).agg(n=("conv_id", "size"))
+
     partials = transcripts.select_columns(["conv_id"]).map_batches(
-        lambda df: df.groupby("conv_id", as_index=False).agg(
-            n=("conv_id", "size")),
-        batch_format="pandas", batch_size=65536,
+        batch_counts, batch_format="pandas", batch_size=65536,
     )
+
+    frames: list[pd.DataFrame] = []
+    total = 0
+    over_cap = False
+    for b in partials.iter_batches(batch_format="pandas", batch_size=65536):
+        frames.append(b)
+        total += len(b)
+        if total > driver_cap:
+            over_cap = True
+            break
+    if not over_cap:
+        if not frames:
+            return set()
+        s = pd.concat(frames, ignore_index=True).groupby("conv_id")["n"].sum()
+        return set(s[s > hot_threshold].index)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column("b", bucket_ids(t["conv_id"], 32))
