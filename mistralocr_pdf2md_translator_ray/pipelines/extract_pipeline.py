@@ -196,13 +196,6 @@ def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict,
     # +12% at 4096 vs 1024 on ~1-2KB turns); for corpora with very wide
     # turns lower this so batch bytes x pool size fits worker heaps
     solo_pool["batch_size"] = 4096
-    # One map task per input BLOCK: a read of few large single-row-group
-    # files yields fewer blocks than actors and starves the pool (8
-    # files / 24 actors ran at 1/4 throughput). target_num_rows_per_block
-    # splits only blocks LARGER than the target — minimal movement, a
-    # pass-through for already-fine inputs (the 48-shard headline).
-    transcripts = transcripts.repartition(
-        target_num_rows_per_block=2 * solo_pool["batch_size"])
     return transcripts.map_batches(
         ExtractFinalizeBroadcast,
         batch_format="pyarrow",
@@ -297,6 +290,15 @@ def extract_turns(
     ctor = {"fn_constructor_kwargs": {"extra_extractors": get_registry()}}
     fin_children = finalize_with_children_dual if emit_original else finalize_with_children
     fin_plain = finalize_plain_dual if emit_original else finalize_plain
+
+    # One map task per input BLOCK: a read of few large single-row-group
+    # files yields fewer blocks than extraction actors and starves the
+    # pool (8 files / 24 actors ran at 1/4 throughput).
+    # target_num_rows_per_block splits only blocks LARGER than the
+    # target — minimal movement, a pass-through for already-fine inputs
+    # (the 48-shard headline A/B'd flat) — and every join strategy
+    # below benefits.
+    transcripts = transcripts.repartition(target_num_rows_per_block=8192)
 
     if child_refs is not None:
         # Precomputed child partial refs (the hot/cold document split

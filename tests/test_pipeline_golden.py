@@ -443,6 +443,22 @@ class TestHotSplitDocuments:
             got = _hot_conversations(rd.from_arrow(t), threshold)
             assert got == set(sizes[sizes > threshold].index)
 
+    def test_hot_detection_fallback_equals_driver_combine(
+            self, tiny_fixture, ray_session):
+        """driver_cap=0 forces the distributed bucketed reduce (the
+        billions-of-conversations path); it must agree with the bounded
+        driver-side combine at every threshold."""
+        from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+            _hot_conversations,
+        )
+
+        t, _ = tiny_fixture
+        for threshold in (1, 40, 10_000):
+            fast = _hot_conversations(rd.from_arrow(t), threshold)
+            slow = _hot_conversations(rd.from_arrow(t), threshold,
+                                      driver_cap=0)
+            assert fast == slow
+
 
 class TestAdaptiveAssemblyDual:
     def test_forced_hot_path_dual(self, tiny_fixture, ray_session):
