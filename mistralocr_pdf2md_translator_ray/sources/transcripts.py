@@ -34,6 +34,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import random
+import zlib
 
 import pyarrow as pa
 
@@ -346,7 +347,9 @@ def write_skewed_transcripts_parquet(
         """One contiguous turn_idx range of the single hot conversation."""
         import pyarrow.parquet as pq
 
-        rng = random.Random(hash((seed, "hot", i)) & 0x7FFFFFFF)
+        # zlib.crc32, not hash(): str hashing is PYTHONHASHSEED-randomized
+        # per worker process, which would make the corpus nondeterministic.
+        rng = random.Random(zlib.crc32(f"{seed}-hot-{i}".encode()) & 0x7FFFFFFF)
         start = (i - n_normal) * turns_per_shard
         rows = {k: [] for k in TRANSCRIPT_SCHEMA.names}
         ts_us = int(_EPOCH.timestamp() * 1_000_000) + start * 2_000_000

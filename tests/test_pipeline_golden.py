@@ -488,3 +488,44 @@ class TestAdaptiveAssemblyDual:
         pd.testing.assert_frame_equal(
             docs[["conv_id", "doc_md", "doc_md_original"]], exp,
             check_dtype=False)
+
+
+class TestSkewedCorpus:
+    """The bench skew artifact's generator: deterministic, one hot
+    conversation holding ~50% of all turns, ts strictly increasing
+    within the hot conversation even across shard boundaries."""
+
+    def test_shape_determinism_and_hot_share(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from mistralocr_pdf2md_translator_ray.sources.transcripts import (
+            write_skewed_transcripts_parquet,
+        )
+
+        t1, _ = write_skewed_transcripts_parquet(
+            str(tmp_path / "a"), n_shards=4, turns_per_shard=500,
+            convs_per_shard=10)
+        t2, _ = write_skewed_transcripts_parquet(
+            str(tmp_path / "b"), n_shards=4, turns_per_shard=500,
+            convs_per_shard=10)
+        import os
+
+        def read_all(d):
+            files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(".parquet"))
+            return pa.concat_tables([pq.read_table(f) for f in files])
+
+        a, b = read_all(t1), read_all(t2)
+        assert a.equals(b)  # byte-deterministic across runs
+
+        df = a.to_pandas()
+        hot = df[df["conv_id"] == "hot-conv"]
+        # hot shards are exact; normal shards are ~turns_per_shard
+        # (zipf rounding), so the hot share is ~50%, not exactly 50%
+        assert len(hot) == 1000
+        assert 0.4 <= len(hot) / len(df) <= 0.55
+        # dense contiguous turn_idx + strictly increasing ts across shards
+        hot = hot.sort_values("turn_idx")
+        assert hot["turn_idx"].tolist() == list(range(len(hot)))
+        assert hot["ts"].is_monotonic_increasing
+        assert hot["ts"].nunique() == len(hot)
