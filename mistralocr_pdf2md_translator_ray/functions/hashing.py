@@ -44,14 +44,23 @@ def bucket_ids_np(values, num_buckets: int) -> np.ndarray:
 #: version must not be compared — the tag makes that detectable.
 CONTENT_HASH_FN = "polars-xxh64-sum-v2"
 
+#: Tag for the scalar fallback (nested-type columns): a different hash
+#: family with different null encoding, so lineage entries must record
+#: which path actually ran — comparing across tags is meaningless.
+CONTENT_HASH_FN_FALLBACK = "py-blake2b-sum-v1"
 
-def content_hash_sum(tbl: pa.Table, cols: list[str]) -> int:
+
+def content_hash_sum(tbl: pa.Table, cols: list[str]) -> tuple[int, str]:
     """Order-insensitive 64-bit content hash of selected columns:
     vectorized per-row hash (cast-to-string + join + polars seeded
     hash), summed mod 2^64. Replaces the round-3 per-row Python blake2b
     loop (O(corpus) single-core work on every checkpoint readback).
     Columns that cannot cast to string (nested types) fall back to the
-    scalar path for that table."""
+    scalar path for that table.
+
+    Returns ``(hash, fn_tag)`` — the tag names the path that actually
+    ran (CONTENT_HASH_FN or CONTENT_HASH_FN_FALLBACK) so lineage
+    consumers never compare hashes from different families."""
     import polars as pl
     import pyarrow.compute as pc
 
@@ -67,11 +76,11 @@ def content_hash_sum(tbl: pa.Table, cols: list[str]) -> int:
                 "\x1f".join(str(v) for v in vals).encode("utf-8"),
                 digest_size=8).digest()
             acc = (acc + int.from_bytes(h, "little")) & 0xFFFFFFFFFFFFFFFF
-        return acc
+        return acc, CONTENT_HASH_FN_FALLBACK
     joined = (parts[0] if len(parts) == 1
               else pc.binary_join_element_wise(*parts, "\x1f"))
     h = pl.from_arrow(joined).hash(seed=0).to_numpy()
-    return int(h.sum(dtype=np.uint64))
+    return int(h.sum(dtype=np.uint64)), CONTENT_HASH_FN
 
 
 def crc32_part_ids(col: "pa.Array | pa.ChunkedArray",

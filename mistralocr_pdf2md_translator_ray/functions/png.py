@@ -28,6 +28,13 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Cap on the UNFILTERED image size (height * (width*channels + 1)).
+#: zlib reaches ~1000:1 ratios, so a few-MB crafted IDAT could inflate
+#: to gigabytes and OOM-kill the actor before any length check ran —
+#: violating the decode stages' error-as-value contract. 256 MiB raw
+#: (~9000x9000 RGB) is far above any payload this engine feeds per row.
+MAX_RAW_BYTES = 1 << 28
+
 
 class PngError(ValueError):
     """Malformed or unsupported PNG (caller maps to status='error')."""
@@ -140,11 +147,19 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise PngError("missing IHDR or IDAT")
     if width == 0 or height == 0:
         raise PngError("zero-dimension image")
+    bpp = _CHANNELS[color_type]
+    expected = height * (width * bpp + 1)
+    if expected > MAX_RAW_BYTES:
+        raise PngError(f"raw image size {expected} exceeds cap {MAX_RAW_BYTES}")
+    # Bounded inflate: never allocate more than the IHDR-derived size,
+    # whatever the compressed stream claims (decompression-bomb guard).
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = d.decompress(b"".join(idat), expected)
+        if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+            raise PngError("IDAT inflates past expected image size")
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from e
-    bpp = _CHANNELS[color_type]
     arr = _unfilter(raw, width, height, bpp)
     if color_type == 3:
         if palette is None:

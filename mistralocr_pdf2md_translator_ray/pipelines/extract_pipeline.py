@@ -85,8 +85,16 @@ def _payload_files(payloads_path) -> list[str]:
     import os
 
     if isinstance(payloads_path, (list, tuple)):
-        return [f for f in payloads_path
-                if f.endswith(".parquet") and os.path.exists(f)]
+        # An explicit list is a hard contract: silently dropping a
+        # missing shard would assemble its conversations with
+        # unresolved placeholders and no error. (Directory scanning
+        # below keeps its documented lenient fallback.)
+        bad = [f for f in payloads_path
+               if not f.endswith(".parquet") or not os.path.exists(f)]
+        if bad:
+            raise FileNotFoundError(
+                f"payload shard(s) missing or not parquet: {bad}")
+        return list(payloads_path)
     if os.path.isdir(payloads_path):
         return sorted(
             os.path.join(payloads_path, f)
@@ -173,13 +181,9 @@ def _child_partial_refs(files: list[str], conv_filter=None):
     return [_partial.remote(s) for s in shards]
 
 
-def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict,
-                        pool_fraction: float = 1.0):
+def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict):
     """Single fused extract+splice+normalize actor pool (the broadcast
-    join's streaming side). ``pool_fraction`` scales the pool down when
-    two extraction branches run concurrently (the hot/cold document
-    split) so their fixed pools don't oversubscribe the cluster and
-    starve the task stages."""
+    join's streaming side)."""
     import ray as _ray
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))
@@ -189,9 +193,9 @@ def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict,
         # 20/22/24 at 32 CPUs over 9 interleaved runs: 24 best
         # (22.6-25.2s) vs 20 (23.5-26.0s); reads finish early and the
         # write tasks are light, so the fused stage can own more cores.
-        solo_pool["concurrency"] = max(1, int(((cpus * 3) // 4) * pool_fraction))
+        solo_pool["concurrency"] = max(1, (cpus * 3) // 4)
     elif cpus >= 6:
-        solo_pool["concurrency"] = max(1, int((cpus // 2) * pool_fraction))
+        solo_pool["concurrency"] = max(1, cpus // 2)
     # larger batches amortize the Arrow<->Python conversion (measured
     # +12% at 4096 vs 1024 on ~1-2KB turns); for corpora with very wide
     # turns lower this so batch bytes x pool size fits worker heaps
@@ -209,7 +213,7 @@ from ..stages.assemble import (
     assemble_conversations_adaptive,
 )
 
-def _pools(pool_fraction: float = 1.0) -> tuple[dict, dict, dict]:
+def _pools() -> tuple[dict, dict, dict]:
     """Actor-pool sizing scaled to the cluster.
 
     Three pools coexist with the task-based stages (read, route,
@@ -241,16 +245,6 @@ def _pools(pool_fraction: float = 1.0) -> tuple[dict, dict, dict]:
                        num_cpus=1)
         child = dict(concurrency=(1, max(1, cpus // 8)), batch_size=1024,
                      num_cpus=1)
-    if pool_fraction != 1.0:
-        def scale(pool: dict) -> dict:
-            c = pool["concurrency"]
-            if isinstance(c, tuple):
-                c = (c[0], max(c[0], int(c[1] * pool_fraction)))
-            else:
-                c = max(1, int(c * pool_fraction))
-            return dict(pool, concurrency=c)
-
-        with_ph, plain, child = scale(with_ph), scale(plain), scale(child)
     return with_ph, plain, child
 
 
@@ -265,8 +259,6 @@ def extract_turns(
     payloads_path: Optional[str] = None,  # enables the overlapped path
     conv_filter=None,  # (part_ids, n_partitions) resume restriction
     emit_original: bool = False,  # dual-variant output (md_original column)
-    child_refs=None,  # precomputed child partial refs (hot/cold doc split)
-    pool_fraction: float = 1.0,  # scale pools when branches run concurrently
 ) -> "ray.data.Dataset":
     """Per-turn extraction; returns Dataset with columns
     (conv_id, turn_idx, role, tool, ts, md, n_tokens, status, error).
@@ -286,7 +278,7 @@ def extract_turns(
     """
     from ..stages.registry import get_registry
 
-    with_ph_pool, plain_pool, child_pool = _pools(pool_fraction)
+    with_ph_pool, plain_pool, child_pool = _pools()
     ctor = {"fn_constructor_kwargs": {"extra_extractors": get_registry()}}
     fin_children = finalize_with_children_dual if emit_original else finalize_with_children
     fin_plain = finalize_plain_dual if emit_original else finalize_plain
@@ -299,16 +291,6 @@ def extract_turns(
     # (the 48-shard headline A/B'd flat) — and every join strategy
     # below benefits.
     transcripts = transcripts.repartition(target_num_rows_per_block=8192)
-
-    if child_refs is not None:
-        # Precomputed child partial refs (the hot/cold document split
-        # shares ONE child-extraction run between its two concurrent
-        # branches; each branch's actors fetch the same plasma objects).
-        return _broadcast_pipeline(
-            transcripts, plain_pool,
-            {"cmap_refs": child_refs, "extra_extractors": get_registry(),
-             "emit_original": emit_original},
-            pool_fraction=pool_fraction)
 
     if payloads_path is not None and child_join in ("auto", "broadcast"):
         # Overlapped broadcast path: child partial maps are computed by
@@ -331,8 +313,7 @@ def extract_turns(
                 return _broadcast_pipeline(
                     transcripts, plain_pool,
                     {"cmap_refs": refs, "extra_extractors": get_registry(),
-                     "emit_original": emit_original},
-                    pool_fraction=pool_fraction)
+                     "emit_original": emit_original})
             payloads = rd.read_parquet(files)
             if conv_filter is not None:
                 payloads = _filter_conv_partitions(payloads, conv_filter)
@@ -368,8 +349,7 @@ def extract_turns(
             return _broadcast_pipeline(
                 transcripts, plain_pool,
                 {"cmap_ref": cmap_ref, "extra_extractors": get_registry(),
-                 "emit_original": emit_original},
-                pool_fraction=pool_fraction)
+                 "emit_original": emit_original})
         children = child_mat  # too big to broadcast; reuse for cogroup
     else:
         children = payloads.map_batches(

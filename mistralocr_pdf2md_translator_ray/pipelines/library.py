@@ -91,9 +91,17 @@ def q1_pricing_summary(sf_dir: str) -> "rd.Dataset":
         g = pa.TableGroupBy(tt, ["l_returnflag", "l_linestatus"]).aggregate(
             [("qty_u", "sum"), ("price_u", "sum"),
              ("disc_u", "sum"), ("one", "sum")])
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "s_qty", "s_price",
-             "s_disc_price", "n"])
+        # select by the generated names — key/aggregate column ORDER in
+        # the grouped output has changed across pyarrow versions, and a
+        # positional rename would silently mislabel every column
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "s_qty": g["qty_u_sum"],
+            "s_price": g["price_u_sum"],
+            "s_disc_price": g["disc_u_sum"],
+            "n": g["one_sum"],
+        })
 
     from ray.data.aggregate import Count, Sum
 
@@ -2529,12 +2537,16 @@ def first_last_event(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
 
 FIRST_LAST_EVENT_SQL = """
 SELECT user_id,
-       min_by(event_type, ts) AS first_type,
-       max_by(event_type, ts) AS last_type,
+       first(event_type ORDER BY ts, event_id) AS first_type,
+       last(event_type ORDER BY ts, event_id) AS last_type,
        CAST(count(*) AS BIGINT) AS n
 FROM events
 GROUP BY user_id
 """
+# ordered first/last, not min_by/max_by(event_type, ts): the pipeline
+# pins the (ts, event_id) composite tiebreak and min_by picks an
+# arbitrary row among tied timestamps — the two sides would diverge on
+# any corpus with duplicate (user_id, ts).
 
 
 def user_event_paths(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
@@ -2632,8 +2644,14 @@ def qty_discount_corr(sf_dir: str) -> "rd.Dataset":
         g = pa.TableGroupBy(tt, ["l_returnflag"]).aggregate(
             [("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
              ("syy", "sum"), ("sxy", "sum"), ("n", "sum")])
-        return g.rename_columns(
-            ["l_returnflag", "sx", "sy", "sxx", "syy", "sxy", "n"])
+        # name-based selection (see q1_pricing_summary: grouped output
+        # column order is a pyarrow version detail)
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "sx": g["sx_sum"], "sy": g["sy_sum"],
+            "sxx": g["sxx_sum"], "syy": g["syy_sum"],
+            "sxy": g["sxy_sum"], "n": g["n_sum"],
+        })
 
     from ray.data.aggregate import Sum
 

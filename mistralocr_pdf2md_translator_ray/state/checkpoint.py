@@ -86,27 +86,32 @@ def _save_lineage(ckpt_dir: str, lineage: dict[int, dict]) -> None:
 
 
 @ray.remote
-def _verify_partition(part_dir: str, hash_cols: list[str]) -> tuple[int, int]:
-    """Read a written partition back; return (row_count, content_hash).
+def _verify_partition(part_dir: str,
+                      hash_cols: list[str]) -> tuple[int, int, str]:
+    """Read a written partition back; return
+    (row_count, content_hash, hash_fn_tag).
 
     Hashing is vectorized (functions/hashing.py content_hash_sum —
     the per-row blake2b loop was days of single-core-equivalent work at
-    10^12 rows); the hash-fn version is recorded in the lineage entry,
-    and ``part_id`` itself stays on crc32 (stability contract)."""
+    10^12 rows); the tag names the hash path that actually ran (the
+    nested-type fallback is a different hash family) and is recorded in
+    the lineage entry; ``part_id`` itself stays on crc32 (stability
+    contract)."""
     import pyarrow.parquet as pq
 
-    from ..functions.hashing import content_hash_sum
+    from ..functions.hashing import CONTENT_HASH_FN, content_hash_sum
 
     files = sorted(
         os.path.join(part_dir, f) for f in os.listdir(part_dir)
         if f.endswith(".parquet")
     )
-    count, acc = 0, 0
+    count, acc, fn = 0, 0, CONTENT_HASH_FN
     for f in files:
         t = pq.read_table(f, columns=hash_cols)
         count += t.num_rows
-        acc = (acc + content_hash_sum(t, hash_cols)) & 0xFFFFFFFFFFFFFFFF
-    return count, acc
+        h, fn = content_hash_sum(t, hash_cols)
+        acc = (acc + h) & 0xFFFFFFFFFFFFFFFF
+    return count, acc, fn
 
 
 def run_checkpointed(
@@ -200,14 +205,16 @@ def run_checkpointed(
             if not os.path.isdir(part_dir):
                 os.makedirs(part_dir, exist_ok=True)  # empty partition
             verify[p] = _verify_partition.remote(part_dir, hash_cols)
-        from ..functions.hashing import CONTENT_HASH_FN
 
         for p, ref in verify.items():
-            count, chash = ray.get(ref)
+            count, chash, hash_fn = ray.get(ref)
             lineage[p] = {
                 "row_count": count,
                 "content_hash": f"{chash:016x}",
-                "hash_fn": CONTENT_HASH_FN,
+                # the tag names the path that RAN (the nested-type
+                # fallback is a different hash family than the
+                # vectorized polars path)
+                "hash_fn": hash_fn,
                 "input_fragment": input_fragment,
             }
         _save_lineage(ckpt_dir, lineage)

@@ -490,6 +490,33 @@ class TestAdaptiveAssemblyDual:
             check_dtype=False)
 
 
+class TestPayloadFilesContract:
+    """An EXPLICIT payload shard list is a hard contract: a missing or
+    non-parquet entry raises instead of silently skipping child
+    extraction for that shard's conversations. Directory scanning keeps
+    its lenient listing behavior."""
+
+    def test_explicit_list_missing_raises(self, tmp_path):
+        import pytest
+
+        from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
+            _payload_files,
+        )
+
+        ok = tmp_path / "a.parquet"
+        ok.write_bytes(b"")
+        with pytest.raises(FileNotFoundError, match="missing"):
+            _payload_files([str(ok), str(tmp_path / "gone.parquet")])
+        with pytest.raises(FileNotFoundError, match="not parquet"):
+            _payload_files([str(ok), __file__])
+        assert _payload_files([str(ok)]) == [str(ok)]
+        # directory scan: lenient, sorted, parquet-only
+        (tmp_path / "b.parquet").write_bytes(b"")
+        (tmp_path / "notes.txt").write_bytes(b"")
+        assert _payload_files(str(tmp_path)) == [str(ok),
+                                                 str(tmp_path / "b.parquet")]
+
+
 class TestSkewedCorpus:
     """The bench skew artifact's generator: deterministic, one hot
     conversation holding ~50% of all turns, ts strictly increasing

@@ -149,6 +149,27 @@ class TestPngCodec:
             decode_png(_build_png(2, 2, 3, _forward_filter(
                 np.full((2, 2), 9, np.uint8), [0, 0]), plte=b"\x00\x00\x00"))
 
+    def test_decompression_bomb_guards(self):
+        # IHDR claiming absurd dimensions is rejected BEFORE any
+        # inflate allocation (the expected raw size breaks the cap)
+        ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+        blob = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"\x00"))
+                + _chunk(b"IEND", b""))
+        with pytest.raises(PngError, match="exceeds cap"):
+            decode_png(blob)
+        # small declared dims but an IDAT stream inflating far past
+        # them: the bounded inflate stops at the expected size instead
+        # of allocating whatever the stream holds (zlib bombs reach
+        # ~1000:1), and reports the oversize as a PngError
+        raw = _forward_filter(np.zeros((2, 2), np.uint8), [0, 0])
+        bomb = zlib.compress(raw + b"\x00" * 1_000_000)
+        blob = (PNG_MAGIC
+                + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+                + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+        with pytest.raises(PngError, match="inflates past"):
+            decode_png(blob)
+
     def test_resize_nearest_and_luma(self):
         img = np.array([[0, 10], [20, 30]], np.uint8)
         up = resize_nearest(img, 4, 4)

@@ -282,26 +282,38 @@ class TestDocsPhaseCrashSafety:
 def test_content_hash_sum_properties():
     """Vectorized content hash: order-insensitive, value-sensitive,
     null-vs-string distinguishing, and chunk-layout independent."""
-    from mistralocr_pdf2md_translator_ray.functions.hashing import content_hash_sum
+    from mistralocr_pdf2md_translator_ray.functions.hashing import (
+        CONTENT_HASH_FN,
+        CONTENT_HASH_FN_FALLBACK,
+        content_hash_sum,
+    )
 
     t = pa.table({
         "a": pa.array(["x", "y", None, "None"]),
         "b": pa.array([1, 2, 3, 4], pa.int32()),
     })
     cols = ["a", "b"]
-    h = content_hash_sum(t, cols)
+    h, fn = content_hash_sum(t, cols)
+    assert fn == CONTENT_HASH_FN
     # order-insensitive (sum of row hashes)
-    assert content_hash_sum(t.take([3, 1, 0, 2]), cols) == h
+    assert content_hash_sum(t.take([3, 1, 0, 2]), cols) == (h, fn)
     # value-sensitive
     t2 = t.set_column(1, "b", pa.array([1, 2, 3, 5], pa.int32()))
-    assert content_hash_sum(t2, cols) != h
+    assert content_hash_sum(t2, cols)[0] != h
     # a NULL must not collide with the string "None" (old str() path
     # conflated them); swap rows 2/3 of "a" only — hash must change
     t3 = t.set_column(0, "a", pa.array(["x", "y", "None", None]))
-    assert content_hash_sum(t3, cols) != h
+    assert content_hash_sum(t3, cols)[0] != h
     # chunk layout independence
     tc = pa.Table.from_batches(t.to_batches(max_chunksize=2))
-    assert content_hash_sum(tc, cols) == h
+    assert content_hash_sum(tc, cols) == (h, fn)
+    # nested types take the scalar fallback and SAY so — the lineage
+    # tag must never claim the polars family for a blake2b hash
+    tn = pa.table({"a": pa.array([["u"], ["v", "w"]]),
+                   "b": pa.array([1, 2], pa.int32())})
+    hn, fn2 = content_hash_sum(tn, cols)
+    assert fn2 == CONTENT_HASH_FN_FALLBACK
+    assert content_hash_sum(tn.take([1, 0]), cols) == (hn, fn2)
 
 
 def test_part_id_stable():
