@@ -29,19 +29,33 @@ converts that into ``status="error"`` rows (error-as-value, matching
 from __future__ import annotations
 
 import json
+from operator import itemgetter
 
 COLUMN_GAP = 18.0   # min gutter width (pt) to declare a second column
 LINE_TOL = 3.0      # max |dy| for spans to share a line
 PARA_GAP = 18.0     # min y gap between lines to start a new paragraph
 MIN_COLUMN_SPANS = 2
 
+# Spans are converted ONCE per page from dicts to (x, y, text, span)
+# tuples (the dict lookups + float() conversions repeated per sort key
+# dominated the kernel profile); sort keys are itemgetters restricted
+# to exactly the fields the original keyed on, so equal-key spans keep
+# their stable order and the text field never participates in a
+# comparison. ``w`` stays a lazy dict access — the original only reads
+# it on pages large enough to column-split, and a sub-4-span page with
+# missing/odd ``w`` must keep rendering. Differential-tested against
+# the straightforward implementation (TestLayoutParity).
+_BY_YX = itemgetter(1, 0)
+_BY_X = itemgetter(0)
 
-def _split_columns(spans: list[dict]) -> list[list[dict]]:
-    """Return spans grouped into 1 or 2 columns (left-to-right)."""
-    if len(spans) < 2 * MIN_COLUMN_SPANS:
-        return [spans]
+
+def _split_columns(pts: list[tuple]) -> list[list[tuple]]:
+    """Return (x, y, text, span) tuples grouped into 1 or 2 columns
+    (left-to-right)."""
+    if len(pts) < 2 * MIN_COLUMN_SPANS:
+        return [pts]
     # Coverage intervals on x, merged; the widest uncovered gap is the gutter.
-    iv = sorted((float(s["x"]), float(s["x"]) + float(s["w"])) for s in spans)
+    iv = sorted((p[0], p[0] + float(p[3]["w"])) for p in pts)
     merged: list[list[float]] = [list(iv[0])]
     for a, b in iv[1:]:
         if a <= merged[-1][1]:
@@ -54,28 +68,28 @@ def _split_columns(spans: list[dict]) -> list[list[dict]]:
         if gap >= best_gap:
             best_gap, best_cut = gap, (b0 + a1) / 2.0
     if best_cut is None:
-        return [spans]
-    left = [s for s in spans if float(s["x"]) + float(s["w"]) / 2.0 < best_cut]
-    right = [s for s in spans if float(s["x"]) + float(s["w"]) / 2.0 >= best_cut]
+        return [pts]
+    left = [p for p in pts if p[0] + float(p[3]["w"]) / 2.0 < best_cut]
+    right = [p for p in pts if p[0] + float(p[3]["w"]) / 2.0 >= best_cut]
     if len(left) < MIN_COLUMN_SPANS or len(right) < MIN_COLUMN_SPANS:
-        return [spans]
+        return [pts]
     return [left, right]
 
 
-def _column_text(spans: list[dict]) -> str:
-    spans = sorted(spans, key=lambda s: (float(s["y"]), float(s["x"])))
-    lines: list[tuple[float, list[dict]]] = []
-    for s in spans:
-        y = float(s["y"])
+def _column_text(pts: list[tuple]) -> str:
+    pts = sorted(pts, key=_BY_YX)
+    lines: list[tuple[float, list[tuple]]] = []
+    for p in pts:
+        y = p[1]
         if lines and abs(y - lines[-1][0]) <= LINE_TOL:
-            lines[-1][1].append(s)
+            lines[-1][1].append(p)
         else:
-            lines.append((y, [s]))
+            lines.append((y, [p]))
     out: list[str] = []
     prev_y: float | None = None
-    for y, line_spans in lines:
-        line_spans.sort(key=lambda s: float(s["x"]))
-        text = " ".join(str(s["text"]).strip() for s in line_spans).strip()
+    for y, line_pts in lines:
+        line_pts.sort(key=_BY_X)
+        text = " ".join(str(p[2]).strip() for p in line_pts).strip()
         if not text:
             continue
         if prev_y is not None and (y - prev_y) > PARA_GAP:
@@ -101,7 +115,9 @@ def layout_to_markdown(payload: str) -> str:
         spans = page.get("spans", [])
         if not isinstance(spans, list):
             raise ValueError("'spans' must be a list")
-        cols = _split_columns([s for s in spans if s.get("text")])
+        pts = [(float(s["x"]), float(s["y"]), s["text"], s)
+               for s in spans if s.get("text")]
+        cols = _split_columns(pts)
         col_texts = [t for t in (_column_text(c) for c in cols) if t]
         if col_texts:
             pages_out.append("\n\n".join(col_texts))

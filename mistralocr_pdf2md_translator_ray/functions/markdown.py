@@ -140,58 +140,64 @@ def md_spans(md: str) -> list[dict]:
     """
     if not md:
         return []
+    # single inlined loop with first-char dispatch (no per-line closure
+    # calls): each branch is a necessary condition of the predicate it
+    # replaces, so classification is identical to the straightforward
+    # version — differential-tested against it (TestMdSpansParity)
     spans: list[dict] = []
+    append = spans.append
     pos = 0
     cur_kind: str | None = None
     cur_start = 0
     cur_end = 0
     in_fence = False
-
-    def classify(line: str) -> str | None:
-        s = line.lstrip()
-        if not s:
-            return None
-        if s.startswith("#"):
-            return "heading"
-        if s.startswith("- ") or (s[:1].isdigit() and ". " in s[:5]):
-            return "list"
-        if s.startswith("|") and line.rstrip().endswith("|"):
-            return "table"
-        if s.startswith(">"):
-            return "quote"
-        if s == "---":
-            return "separator"
-        return "paragraph"
-
-    def flush() -> None:
-        nonlocal cur_kind
-        if cur_kind is not None:
-            spans.append({"start": cur_start, "end": cur_end, "kind": cur_kind})
-            cur_kind = None
-
     for line in md.split("\n"):
-        start, end = pos, pos + len(line)
+        start = pos
+        end = start + len(line)
         pos = end + 1  # skip the newline
         s = line.lstrip()
         if in_fence:
             cur_end = end
-            if s.startswith("```") or s.startswith("~~~"):
+            if s[:3] in ("```", "~~~"):
                 in_fence = False
-                flush()
+                append({"start": cur_start, "end": cur_end, "kind": cur_kind})
+                cur_kind = None
             continue
-        if s.startswith("```") or s.startswith("~~~"):
-            flush()
-            cur_kind, cur_start, cur_end = "code", start, end
-            in_fence = True
+        if not s:
+            if cur_kind is not None:
+                append({"start": cur_start, "end": cur_end, "kind": cur_kind})
+                cur_kind = None
             continue
-        kind = classify(line)
-        if kind is None:
-            flush()
-            continue
-        if kind == cur_kind and kind in ("list", "table", "quote", "paragraph"):
+        c = s[0]
+        if c == "`" or c == "~":
+            if s[:3] in ("```", "~~~"):
+                if cur_kind is not None:
+                    append({"start": cur_start, "end": cur_end,
+                            "kind": cur_kind})
+                cur_kind, cur_start, cur_end = "code", start, end
+                in_fence = True
+                continue
+            kind = "paragraph"
+        elif c == "#":
+            kind = "heading"
+        elif c == "-":
+            kind = ("list" if s[1:2] == " "
+                    else "separator" if s == "---" else "paragraph")
+        elif c == "|":
+            kind = "table" if line.rstrip().endswith("|") else "paragraph"
+        elif c == ">":
+            kind = "quote"
+        elif c.isdigit():
+            kind = "list" if ". " in s[:5] else "paragraph"
+        else:
+            kind = "paragraph"
+        if kind == cur_kind and (kind == "paragraph" or kind == "list"
+                                 or kind == "table" or kind == "quote"):
             cur_end = end
         else:
-            flush()
+            if cur_kind is not None:
+                append({"start": cur_start, "end": cur_end, "kind": cur_kind})
             cur_kind, cur_start, cur_end = kind, start, end
-    flush()
+    if cur_kind is not None:
+        append({"start": cur_start, "end": cur_end, "kind": cur_kind})
     return spans

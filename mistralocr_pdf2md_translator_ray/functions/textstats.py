@@ -38,10 +38,15 @@ _ALL_STOPWORDS = frozenset().union(*_STOPWORDS.values())
 
 
 def token_count(text: str) -> int:
-    """Whitespace token count — SQL-parity kernel."""
+    """Whitespace token count — SQL-parity kernel.
+
+    ``str.split()`` (no args) counts exactly the ``\\S+`` runs the SQL
+    side extracts — both split on Unicode-whitespace runs — at ~2x the
+    regex-findall speed (differential-tested incl. hypothesis text in
+    TestTextStats)."""
     if not text:
         return 0
-    return len(_WS_TOKEN_RE.findall(text))
+    return len(text.split())
 
 
 def tokenize(text: str) -> list[str]:

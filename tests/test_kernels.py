@@ -2,6 +2,9 @@
 
 import json
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from mistralocr_pdf2md_translator_ray.functions import (
     extract_child_payload,
     extract_turn,
@@ -118,6 +121,142 @@ class TestLayout:
             layout_to_markdown('{"nope": 1}')
 
 
+def _layout_to_markdown_ref(payload):
+    """Straightforward dict-based reference for the tuple-converted
+    layout kernel (the pre-optimization implementation, kept verbatim
+    for the differential)."""
+    from mistralocr_pdf2md_translator_ray.functions.layout import (
+        COLUMN_GAP,
+        LINE_TOL,
+        MIN_COLUMN_SPANS,
+        PARA_GAP,
+    )
+
+    def split_columns(spans):
+        if len(spans) < 2 * MIN_COLUMN_SPANS:
+            return [spans]
+        iv = sorted((float(s["x"]), float(s["x"]) + float(s["w"]))
+                    for s in spans)
+        merged = [list(iv[0])]
+        for a, b in iv[1:]:
+            if a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        best_cut, best_gap = None, COLUMN_GAP
+        for (a0, b0), (a1, b1) in zip(merged, merged[1:]):
+            gap = a1 - b0
+            if gap >= best_gap:
+                best_gap, best_cut = gap, (b0 + a1) / 2.0
+        if best_cut is None:
+            return [spans]
+        left = [s for s in spans
+                if float(s["x"]) + float(s["w"]) / 2.0 < best_cut]
+        right = [s for s in spans
+                 if float(s["x"]) + float(s["w"]) / 2.0 >= best_cut]
+        if len(left) < MIN_COLUMN_SPANS or len(right) < MIN_COLUMN_SPANS:
+            return [spans]
+        return [left, right]
+
+    def column_text(spans):
+        spans = sorted(spans, key=lambda s: (float(s["y"]), float(s["x"])))
+        lines = []
+        for s in spans:
+            y = float(s["y"])
+            if lines and abs(y - lines[-1][0]) <= LINE_TOL:
+                lines[-1][1].append(s)
+            else:
+                lines.append((y, [s]))
+        out, prev_y = [], None
+        for y, line_spans in lines:
+            line_spans.sort(key=lambda s: float(s["x"]))
+            text = " ".join(str(s["text"]).strip() for s in line_spans).strip()
+            if not text:
+                continue
+            if prev_y is not None and (y - prev_y) > PARA_GAP:
+                out.append("")
+            out.append(text)
+            prev_y = y
+        return "\n".join(out)
+
+    doc = json.loads(payload)
+    pages_out = []
+    for page in doc["pages"]:
+        spans = page.get("spans", [])
+        cols = split_columns([s for s in spans if s.get("text")])
+        col_texts = [t for t in (column_text(c) for c in cols) if t]
+        if col_texts:
+            pages_out.append("\n\n".join(col_texts))
+    return "\n\n".join(pages_out)
+
+
+class TestLayoutParity:
+    """The tuple-converted layout kernel must agree with the
+    straightforward dict implementation on every input, including
+    duplicate coordinates (stable-sort order) and missing 'w' on
+    pages too small to column-split."""
+
+    def test_randomized_spans(self):
+        import random
+
+        rng = random.Random(29)
+        words = ["alpha", "beta", "", " ", "x y", "0", "line text"]
+        for _ in range(300):
+            pages = []
+            for _p in range(rng.randrange(0, 3)):
+                spans = []
+                for _s in range(rng.randrange(0, 14)):
+                    spans.append({
+                        "x": rng.choice([50, 50, 330, rng.uniform(0, 600)]),
+                        "y": rng.choice([60, 60, 74, rng.uniform(0, 700)]),
+                        "w": rng.choice([100, 200, rng.uniform(1, 300)]),
+                        "h": 12,
+                        "text": rng.choice(words),
+                    })
+                pages.append({"w": 612, "h": 792, "spans": spans})
+            payload = json.dumps({"pages": pages})
+            assert layout_to_markdown(payload) == _layout_to_markdown_ref(payload)
+
+    def test_missing_w_small_page_still_renders(self):
+        # the original never read 'w' on sub-4-span pages; the tuple
+        # version must preserve that laziness
+        payload = json.dumps({"pages": [{"spans": [
+            {"x": 50, "y": 60, "text": "no width"},
+            {"x": 50, "y": 74, "text": "still fine"},
+        ]}]})
+        assert layout_to_markdown(payload) == "no width\nstill fine"
+        assert layout_to_markdown(payload) == _layout_to_markdown_ref(payload)
+
+    def test_corpus_payloads(self):
+        from mistralocr_pdf2md_translator_ray.sources.transcripts import (
+            generate_transcripts,
+        )
+
+        t, _ = generate_transcripts(n_convs=10, n_turns=2000, seed=31)
+        n = 0
+        for text, tool in zip(t["text"].to_pylist(), t["tool"].to_pylist()):
+            if tool == "pdf_layout":
+                # the corpus plants malformed payloads (error-as-value
+                # path): both implementations must then fail alike
+                try:
+                    got = ("ok", layout_to_markdown(text))
+                except Exception as e:
+                    got = ("err", type(e).__name__)
+                try:
+                    exp = ("ok", _layout_to_markdown_ref(text))
+                except Exception as e:
+                    exp = ("err", type(e).__name__)
+                if got[0] == "err":
+                    # ref raises raw JSONDecodeError where the kernel
+                    # wraps it in ValueError (a subclass relationship:
+                    # both are ValueError) — compare category only
+                    assert exp[0] == "err", text[:80]
+                else:
+                    assert got == exp, text[:80]
+                n += 1
+        assert n > 50  # the corpus actually exercises this path
+
+
 class TestMarkdownNormalize:
     def test_setext_to_atx(self):
         assert normalize_markdown("Title\n=====\n\nSub\n---") == "# Title\n\n## Sub"
@@ -165,6 +304,111 @@ class TestMdSpans:
         from mistralocr_pdf2md_translator_ray.functions.markdown import md_spans
 
         assert md_spans("") == []
+
+
+def _md_spans_ref(md):
+    """Straightforward reference for the inlined md_spans (the pre-
+    optimization implementation, kept verbatim for the differential)."""
+    if not md:
+        return []
+    spans, pos = [], 0
+    cur_kind, cur_start, cur_end = None, 0, 0
+    in_fence = False
+
+    def classify(line):
+        s = line.lstrip()
+        if not s:
+            return None
+        if s.startswith("#"):
+            return "heading"
+        if s.startswith("- ") or (s[:1].isdigit() and ". " in s[:5]):
+            return "list"
+        if s.startswith("|") and line.rstrip().endswith("|"):
+            return "table"
+        if s.startswith(">"):
+            return "quote"
+        if s == "---":
+            return "separator"
+        return "paragraph"
+
+    def flush():
+        nonlocal cur_kind
+        if cur_kind is not None:
+            spans.append({"start": cur_start, "end": cur_end, "kind": cur_kind})
+            cur_kind = None
+
+    for line in md.split("\n"):
+        start, end = pos, pos + len(line)
+        pos = end + 1
+        s = line.lstrip()
+        if in_fence:
+            cur_end = end
+            if s.startswith("```") or s.startswith("~~~"):
+                in_fence = False
+                flush()
+            continue
+        if s.startswith("```") or s.startswith("~~~"):
+            flush()
+            cur_kind, cur_start, cur_end = "code", start, end
+            in_fence = True
+            continue
+        kind = classify(line)
+        if kind is None:
+            flush()
+            continue
+        if kind == cur_kind and kind in ("list", "table", "quote", "paragraph"):
+            cur_end = end
+        else:
+            flush()
+            cur_kind, cur_start, cur_end = kind, start, end
+    flush()
+    return spans
+
+
+class TestMdSpansParity:
+    """The inlined first-char-dispatch md_spans must agree with the
+    straightforward implementation on every input."""
+
+    def test_edge_cases(self):
+        from mistralocr_pdf2md_translator_ray.functions.markdown import md_spans
+
+        cases = [
+            "", "x", "\n", "#", "# h\n# h2", "- a\n-b\n- c", "---\n----\n---",
+            "|a|\n|b", "|a|b|\n  |c|d|", "> q\n>q2\n", "1. a\n2) b\n12. c",
+            "```\n# not heading\n```", "~~~\ncode\n~~~\ntail", "```python\nx\n",
+            "  ```\nindented fence\n  ```", "`tick\n~squiggle", "9.b\n9. b",
+            "para\n\n\npara", "|\n||\n| |", "-\n- \n --", "\t- tab list",
+            "０１. fullwidth digits\n5. x",
+        ]
+        for md in cases:
+            assert md_spans(md) == _md_spans_ref(md), repr(md)
+
+    def test_randomized_lines(self):
+        import random
+
+        from mistralocr_pdf2md_translator_ray.functions.markdown import md_spans
+
+        rng = random.Random(11)
+        atoms = ["# h", "## h2", "- item", "1. one", "2) two", "|a|b|",
+                 "|bad", "> quote", "---", "----", "```", "~~~", "text",
+                 "  text", "", " ", "\t", "`x", "~y", "9.z", "#x", "- ",
+                 "|---|---|", "12345. deep", "1.  sp"]
+        for _ in range(500):
+            md = "\n".join(rng.choice(atoms)
+                           for _ in range(rng.randrange(0, 30)))
+            assert md_spans(md) == _md_spans_ref(md), repr(md)
+
+    def test_corpus_texts(self):
+        from mistralocr_pdf2md_translator_ray.functions.extract import extract_turn
+        from mistralocr_pdf2md_translator_ray.functions.markdown import md_spans
+        from mistralocr_pdf2md_translator_ray.sources.transcripts import (
+            generate_transcripts,
+        )
+
+        t, _ = generate_transcripts(n_convs=10, n_turns=2000, seed=23)
+        for text, tool in zip(t["text"].to_pylist(), t["tool"].to_pylist()):
+            md, _st, _err = extract_turn(text, tool)
+            assert md_spans(md) == _md_spans_ref(md)
 
 
 class TestScalars:
@@ -267,6 +511,15 @@ class TestTextStats:
         assert token_count("a b  c\n d") == 4
         assert token_count("") == 0
         assert token_count("   ") == 0
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_token_count_matches_regex(self, s):
+        # str.split() must count exactly the \S+ runs the SQL oracle
+        # extracts (regexp_extract_all '\S+') — incl. Unicode whitespace
+        import re
+
+        assert token_count(s) == len(re.findall(r"\S+", s))
 
     def test_lang_id(self):
         assert lang_id("the cat sat on the mat and it was good") == "en"
