@@ -51,6 +51,22 @@ _LEAF_TAGS = frozenset(
 )
 _HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}
 
+# Single-lookup tag dispatch for the parser hooks: the five action
+# categories are DISJOINT (asserted below), so one dict get replaces
+# the 4-6 sequential set-membership tests each hook ran per tag —
+# those hooks fire twice per tag over the whole corpus. Tags reach the
+# hooks already lowercased (both the fast scanner and stdlib
+# HTMLParser lower before calling — parser.py:313,398,407).
+_C_BOILER, _C_LINK, _C_BR, _C_CELL, _C_ROW, _C_LEAF = range(6)
+_TAG_CODE = {
+    **{t: _C_BOILER for t in _BOILERPLATE_TAGS},
+    "a": _C_LINK, "br": _C_BR, "td": _C_CELL, "th": _C_CELL,
+    "tr": _C_ROW,
+    **{t: _C_LEAF for t in _LEAF_TAGS},
+}
+assert len(_TAG_CODE) == len(_BOILERPLATE_TAGS) + len(_LEAF_TAGS) + 5, \
+    "tag categories must stay disjoint for single-code dispatch"
+
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
 _NL_RE = re.compile(r"\n{2,}")
 
@@ -105,42 +121,47 @@ class _Extractor(HTMLParser):
         if b.text:
             self.blocks.append(b)
 
-    # -- HTMLParser hooks ------------------------------------------------
+    # -- HTMLParser hooks (tags arrive lowercase from both callers) ------
     def handle_starttag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
-        if tag in _BOILERPLATE_TAGS:
+        code = _TAG_CODE.get(tag)
+        if code is None:
+            return
+        if code == _C_LEAF:
+            self._open_block(tag)
+        elif code == _C_BOILER:
             self._boiler_depth += 1
-        if tag == "a":
+        elif code == _C_LINK:
             self._link_depth += 1
-        if tag == "br":
+        elif code == _C_BR:
             if self._cur is not None:
                 (self._cell_parts if self._cell_parts is not None
                  else self._cur.parts).append(" ")
-            return
-        if tag in ("td", "th") and self._cur is not None and self._cur.cells is not None:
-            if self._cell_parts is not None:
-                self._cur.cells.append(_collapse_ws("".join(self._cell_parts)))
-            self._cell_parts = []
-            return
-        if tag == "tr":
+        elif code == _C_CELL:
+            if self._cur is not None and self._cur.cells is not None:
+                if self._cell_parts is not None:
+                    self._cur.cells.append(
+                        _collapse_ws("".join(self._cell_parts)))
+                self._cell_parts = []
+        else:  # _C_ROW
             self._open_block("tr")
-            return
-        if tag in _LEAF_TAGS:
-            self._open_block(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
-        if tag in _BOILERPLATE_TAGS:
-            self._boiler_depth = max(0, self._boiler_depth - 1)
-        if tag == "a":
-            self._link_depth = max(0, self._link_depth - 1)
-        if tag in ("td", "th") and self._cur is not None and self._cur.cells is not None:
-            if self._cell_parts is not None:
-                self._cur.cells.append(_collapse_ws("".join(self._cell_parts)))
-                self._cell_parts = None
+        code = _TAG_CODE.get(tag)
+        if code is None:
             return
-        if tag in _LEAF_TAGS or tag == "tr":
+        if code == _C_LEAF or code == _C_ROW:
             self._flush()
+        elif code == _C_BOILER:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+        elif code == _C_LINK:
+            self._link_depth = max(0, self._link_depth - 1)
+        elif code == _C_CELL:
+            if self._cur is not None and self._cur.cells is not None:
+                if self._cell_parts is not None:
+                    self._cur.cells.append(
+                        _collapse_ws("".join(self._cell_parts)))
+                    self._cell_parts = None
+        # _C_BR: end tag has no action (matches the original hook)
 
     def handle_data(self, data: str) -> None:
         if not data:
