@@ -67,7 +67,13 @@ _TAG_CODE = {
 assert len(_TAG_CODE) == len(_BOILERPLATE_TAGS) + len(_LEAF_TAGS) + 5, \
     "tag categories must stay disjoint for single-code dispatch"
 
-_WS_RE = re.compile(r"[ \t\r\f\v]+")
+# Matches only horizontal-ws runs that NEED collapsing (len>=2, or a
+# single non-space ws char): on the typical segment whose runs are all
+# single spaces, sub() finds nothing and returns the SAME object —
+# equivalent to the plain r"[ \t\r\f\v]+" -> " " rewrite on every
+# maximal run (a single " " run rewrites to itself), proven on 200k
+# randomized ws-heavy strings + the full-corpus byte-stability sweep.
+_WS_RE = re.compile(r"[ \t\r\f\v]{2,}|[\t\r\f\v]")
 _NL_RE = re.compile(r"\n{2,}")
 
 
