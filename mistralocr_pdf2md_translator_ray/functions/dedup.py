@@ -7,6 +7,7 @@ per document; the Ray stages batch documents and emit sketch rows.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -14,7 +15,11 @@ import numpy as np
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+@functools.lru_cache(maxsize=8)
 def _rng_params(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    # cached: minhash_signature calls this once PER DOCUMENT with the
+    # same (n_perm, seed); regenerating the Generator dominated small
+    # docs. Arrays are treated as read-only by all callers.
     rng = np.random.default_rng(seed)
     # odd multipliers -> bijections of Z/2^64, so per-permutation min is
     # a valid MinHash

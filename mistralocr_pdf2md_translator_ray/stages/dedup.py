@@ -84,6 +84,9 @@ _SMALL_PAIRS_MAX = 1_000_000
 # (<= 16 MB object); larger sets switch to a distributed anti-join so no
 # single heap ever holds the id set.
 _BROADCAST_REMOVED_MAX = 2_000_000
+# _keep_after_pairs' union-find branch broadcasts unconditionally on
+# the strength of this bound (removed ids <= 2 * pairs)
+assert 2 * _UNION_FIND_MAX_PAIRS <= _BROADCAST_REMOVED_MAX
 
 
 @ray.remote
@@ -257,17 +260,7 @@ def _keep_after_pairs(docs: "rd.Dataset", pairs: "rd.Dataset") -> "rd.Dataset":
     if n_pairs == 0:
         return docs.map_batches(project, batch_format="pyarrow")
 
-    if n_pairs <= _UNION_FIND_MAX_PAIRS:
-        # pair blocks travel object-store -> one task; never the driver
-        removed = rd.from_arrow_refs(
-            [_union_find_removed.remote(*pairs.to_arrow_refs())])
-    else:
-        removed = _removed_ds_by_label_propagation(pairs)
-    removed = removed.materialize()
-    n_removed = removed.count()
-
-    if n_removed <= _BROADCAST_REMOVED_MAX:
-        removed_arr = _collect_bounded_ids(removed)
+    def broadcast_filter(removed_arr: np.ndarray) -> "rd.Dataset":
         removed_ref = ray.put(removed_arr)
 
         def keep(t: pa.Table) -> pa.Table:
@@ -278,6 +271,23 @@ def _keep_after_pairs(docs: "rd.Dataset", pairs: "rd.Dataset") -> "rd.Dataset":
             return pa.table({"doc_id": t["doc_id"].filter(mask)})
 
         return docs.map_batches(keep, batch_format="pyarrow")
+
+    if n_pairs <= _UNION_FIND_MAX_PAIRS:
+        # pair blocks travel object-store -> ONE task; its removed set
+        # is <= 2*n_pairs <= _BROADCAST_REMOVED_MAX by construction
+        # (asserted below), so the broadcast filter applies
+        # unconditionally — fetch the single bounded result table
+        # straight to the driver instead of spending a Dataset
+        # execution round trip on wrap+materialize+count
+        tbl = ray.get(_union_find_removed.remote(*pairs.to_arrow_refs()))
+        return broadcast_filter(
+            np.sort(tbl["doc_id"].to_numpy().astype(np.int64)))
+
+    removed = _removed_ds_by_label_propagation(pairs).materialize()
+    n_removed = removed.count()
+
+    if n_removed <= _BROADCAST_REMOVED_MAX:
+        return broadcast_filter(_collect_bounded_ids(removed))
 
     # removed set too large to broadcast: distributed anti-join
     from .joins import cogroup
