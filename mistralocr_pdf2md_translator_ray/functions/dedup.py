@@ -19,12 +19,16 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 def _rng_params(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     # cached: minhash_signature calls this once PER DOCUMENT with the
     # same (n_perm, seed); regenerating the Generator dominated small
-    # docs. Arrays are treated as read-only by all callers.
+    # docs. The cached arrays are shared by every caller in the
+    # process, so they are frozen — an in-place write raises instead of
+    # silently corrupting every later signature.
     rng = np.random.default_rng(seed)
     # odd multipliers -> bijections of Z/2^64, so per-permutation min is
     # a valid MinHash
     a = rng.integers(1, 1 << 63, size=n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
     b = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+    a.setflags(write=False)
+    b.setflags(write=False)
     return a, b
 
 

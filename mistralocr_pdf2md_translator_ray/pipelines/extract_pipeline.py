@@ -85,8 +85,13 @@ def _payload_files(payloads_path) -> list[str]:
     import os
 
     if isinstance(payloads_path, (list, tuple)):
-        # An explicit list is a hard contract: silently dropping a
-        # missing shard would assemble its conversations with
+        # Remote URIs can't be existence-checked locally: return [] so
+        # the caller routes the list through ray.data.read_parquet
+        # (which resolves them itself) — the documented non-local path.
+        if any("://" in f for f in payloads_path):
+            return []
+        # An explicit LOCAL list is a hard contract: silently dropping
+        # a missing shard would assemble its conversations with
         # unresolved placeholders and no error. (Directory scanning
         # below keeps its documented lenient fallback.)
         bad = [f for f in payloads_path

@@ -280,8 +280,9 @@ def _keep_after_pairs(docs: "rd.Dataset", pairs: "rd.Dataset") -> "rd.Dataset":
         # straight to the driver instead of spending a Dataset
         # execution round trip on wrap+materialize+count
         tbl = ray.get(_union_find_removed.remote(*pairs.to_arrow_refs()))
-        return broadcast_filter(
-            np.sort(tbl["doc_id"].to_numpy().astype(np.int64)))
+        # _union_find_removed builds its column via sorted(); np.isin
+        # in the filter is order-insensitive anyway — no re-sort
+        return broadcast_filter(tbl["doc_id"].to_numpy().astype(np.int64))
 
     removed = _removed_ds_by_label_propagation(pairs).materialize()
     n_removed = removed.count()

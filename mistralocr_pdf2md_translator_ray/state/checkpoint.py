@@ -106,11 +106,20 @@ def _verify_partition(part_dir: str,
         if f.endswith(".parquet")
     )
     count, acc, fn = 0, 0, CONTENT_HASH_FN
+    seen_fns: set[str] = set()
     for f in files:
         t = pq.read_table(f, columns=hash_cols)
         count += t.num_rows
         h, fn = content_hash_sum(t, hash_cols)
+        seen_fns.add(fn)
         acc = (acc + h) & 0xFFFFFFFFFFFFFFFF
+    if len(seen_fns) > 1:
+        # files of one partition took DIFFERENT hash paths (schema
+        # drift mid-partition): a cross-family sum under a single tag
+        # would defeat the never-compare-across-families guarantee —
+        # fail loudly instead of recording a meaningless hash
+        raise ValueError(
+            f"mixed content-hash families in {part_dir}: {sorted(seen_fns)}")
     return count, acc, fn
 
 

@@ -510,6 +510,11 @@ class TestPayloadFilesContract:
         with pytest.raises(FileNotFoundError, match="not parquet"):
             _payload_files([str(ok), __file__])
         assert _payload_files([str(ok)]) == [str(ok)]
+        # remote URIs can't be existence-checked locally: the list
+        # routes through ray.data.read_parquet (documented fallback),
+        # signalled by an empty local listing — never an error
+        assert _payload_files(["s3://bucket/p-000.parquet"]) == []
+        assert _payload_files([str(ok), "s3://bucket/p-000.parquet"]) == []
         # directory scan: lenient, sorted, parquet-only
         (tmp_path / "b.parquet").write_bytes(b"")
         (tmp_path / "notes.txt").write_bytes(b"")

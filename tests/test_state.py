@@ -316,6 +316,28 @@ def test_content_hash_sum_properties():
     assert content_hash_sum(tn.take([1, 0]), cols) == (hn, fn2)
 
 
+def test_verify_partition_rejects_mixed_hash_families(ray_session, tmp_path):
+    """Files of one partition taking different hash paths (schema drift
+    mid-partition) must fail loudly — a cross-family sum under a single
+    tag would defeat the never-compare-across-families guarantee."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray
+
+    from mistralocr_pdf2md_translator_ray.state.checkpoint import _verify_partition
+
+    part = tmp_path / "part_id=0"
+    part.mkdir()
+    pq.write_table(pa.table({"v": pa.array(["x", "y"])}),
+                   str(part / "a.parquet"))
+    pq.write_table(pa.table({"v": pa.array([["u"], ["w"]])}),
+                   str(part / "b.parquet"))
+    with pytest.raises(ray.exceptions.RayTaskError, match="mixed content-hash"):
+        ray.get(_verify_partition.remote(str(part), ["v"]))
+    # the single-family happy path is covered by the checkpoint
+    # round-trip tests above
+
+
 def test_part_id_stable():
     assert part_id_for_key("conv-000001", 16) == part_id_for_key("conv-000001", 16)
     assert 0 <= part_id_for_key("anything", 7) < 7
