@@ -89,6 +89,11 @@ def run_bench() -> dict:
     import ray.data as rd
     from ray.data import DataContext
 
+    # in-band host-capacity probe (see _effective_cores): walls taken
+    # in a ~15-core window are ~2x a quiet-window run of the SAME code,
+    # so the bench artifact must carry its own context
+    cores_before = _effective_cores()
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
@@ -145,6 +150,8 @@ def run_bench() -> dict:
         "turns_per_sec": turns_per_sec,
     }
     ray.shutdown()
+    result["effective_cores_before"] = cores_before
+    result["effective_cores_after"] = _effective_cores()
     return result
 
 
