@@ -366,6 +366,33 @@ class TestAssembly:
         exp = oracle_assemble(oracle_turns).to_pandas()
         pd.testing.assert_frame_equal(a[exp.columns.tolist()], exp, check_dtype=False)
 
+    def test_hotaware_any_hot_set_equals_oracle(self, pipeline_turns,
+                                                oracle_turns):
+        """hotaware assembly is EQUAL for every choice of hot set —
+        the hot set is a routing decision, never a semantic one.
+        Random subsets, empty, and all-hot, with small salt spans so
+        hot conversations genuinely split into multiple partials."""
+        import random
+
+        from mistralocr_pdf2md_translator_ray.stages.assemble import (
+            assemble_conversations_hotaware,
+        )
+
+        convs = sorted(pipeline_turns["conv_id"].unique())
+        rng = random.Random(17)
+        exp = oracle_assemble(oracle_turns).to_pandas()
+        subsets = [set(), set(convs),
+                   set(rng.sample(convs, len(convs) // 2)),
+                   {convs[0]}]
+        for hot in subsets:
+            a = (
+                assemble_conversations_hotaware(
+                    self._per_turn_ds(pipeline_turns), hot, salt_span=8)
+                .to_pandas().sort_values("conv_id").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                a[exp.columns.tolist()], exp, check_dtype=False)
+
     def test_sorted_strategy_equals_oracle(self, pipeline_turns, oracle_turns):
         from mistralocr_pdf2md_translator_ray.stages.assemble import (
             assemble_conversations_sorted,
