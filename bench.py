@@ -178,13 +178,15 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
         os.path.join(p_dir, f) for f in os.listdir(p_dir) if f.endswith(".parquet")
     )[:8]
     timed("extract_documents_8shards", lambda: extract_documents(
-        rd.read_parquet(sub_t), payloads_path=sub_p))
+        rd.read_parquet(sub_t), payloads_path=sub_p,
+        transcripts_path=sub_t))
 
     # pathological skew: one conversation = 50% of 200k turns; exercises
     # the pre-extraction hot/cold split + two-phase salted assembly
     skew_t, skew_p = _ensure_skew_corpus()
     timed("extract_documents_skew", lambda: extract_documents(
-        rd.read_parquet(skew_t), payloads_path=skew_p))
+        rd.read_parquet(skew_t), payloads_path=skew_p,
+        transcripts_path=skew_t))
 
     # --- library queries over the sf dir ------------------------------
     timed("q1_pricing_summary", lambda: lib.q1_pricing_summary(SF_DIR))
@@ -335,7 +337,8 @@ def run_skew() -> dict:
     skew_t, skew_p = _ensure_skew_corpus()
     t0 = time.perf_counter()
     n = _consume(extract_documents(rd.read_parquet(skew_t),
-                                   payloads_path=skew_p))
+                                   payloads_path=skew_p,
+                                   transcripts_path=skew_t))
     sec = round(time.perf_counter() - t0, 3)
     ray.shutdown()
     return {"metric": "extract_documents over 50%-hot skew corpus",

@@ -463,6 +463,69 @@ def _hot_conversations(transcripts: "ray.data.Dataset",
     return {r["conv_id"] for r in hot_rows.take_all()}
 
 
+@ray.remote
+def _conv_counts_shard(files: list[str]) -> dict:
+    """Per-shard conversation turn counts from the conv_id column only
+    (footer-indexed single-column read; no text bytes move)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for f in files:
+        vc = _pc.value_counts(pq.read_table(f, columns=["conv_id"])["conv_id"])
+        for v, c in zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()):
+            out[v] = out.get(v, 0) + c
+    return out
+
+
+@ray.remote
+def _hot_from_counts(threshold: int, *partials: dict):
+    """Combine per-shard counts; return the hot conv ids as a pa.Array
+    (the value_set the assembly closures consume). Holds one entry per
+    DISTINCT conversation in a single task heap — same bound as the
+    driver-side combine it overlaps with (billions of conversations
+    would route through _hot_conversations' distributed fallback
+    instead; pass transcripts_path=None there)."""
+    import pyarrow as _pa
+
+    agg: dict = {}
+    for p in partials:
+        for k, v in p.items():
+            agg[k] = agg.get(k, 0) + v
+    return _pa.array(sorted(k for k, v in agg.items() if v > threshold),
+                     _pa.string())
+
+
+def _hot_conversations_overlapped(files: list[str], threshold: int):
+    """Launch the hot-conversation count as raw Ray tasks over the
+    transcript parquet shards and return a PENDING ObjectRef of the hot
+    id array — the same overlap trick as the child-partial phase: the
+    count runs on the cluster WHILE the main extraction pipeline's read
+    stages stream, instead of serializing a full Dataset scan before
+    the pipeline can start (measured ~4-5 s of serial wall at bench
+    scale)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    k = max(1, min(len(files), max(1, cpus // 2)))
+    shards = [files[i::k] for i in range(k)]
+    partials = [_conv_counts_shard.remote(s) for s in shards]
+    return _hot_from_counts.remote(threshold, *partials)
+
+
+#: Below this many turn rows (known from parquet FOOTER metadata only),
+#: extract_documents inserts an explicit materialize barrier between
+#: extraction and the assembly shuffle. Measured (243k turns, 32 CPUs,
+#: interleaved): barrier 13.1 s vs streaming 17.5 s — the all-to-all
+#: starves while the extraction actor pool still holds 3/4 of the
+#: cores, and Ray's sort-based shuffle holds the whole input in the
+#: object store ANYWAY, so below the cap the barrier only adds one
+#: bounded extra pass. Past the cap the stream goes straight into the
+#: shuffle so the corpus is never held twice (the 100-TB shape).
+BARRIER_ASSEMBLY_MAX_ROWS = 2_000_000
+
+
 def extract_documents(
     transcripts: "ray.data.Dataset",
     payloads: Optional["ray.data.Dataset"] = None,
@@ -470,6 +533,8 @@ def extract_documents(
     payloads_path: Optional[str] = None,
     emit_original: bool = False,
     hot_threshold: int = 10_000,
+    transcripts_path=None,  # enables footer gating + overlapped hot count
+    barrier_max_rows: int = BARRIER_ASSEMBLY_MAX_ROWS,
 ) -> "ray.data.Dataset":
     """Whole-document output: one row per conversation
     (conv_id, n_turns, doc_md), turn order restored inside groups.
@@ -477,27 +542,36 @@ def extract_documents(
     (doc_md + doc_md_original — the reference's dual
     original/translated outputs, mistralocr_app.py:714-717).
 
-    Assembly is ADAPTIVE, decided BEFORE extraction: hot detection
-    counts the RAW input's ``conv_id`` column (turn counts are
+    Assembly is ADAPTIVE in two dimensions. (1) SIZE, gated by parquet
+    footer row counts when ``transcripts_path`` is given: bounded
+    inputs (<= ``barrier_max_rows``) take an explicit materialize
+    BARRIER between extraction and the assembly shuffle — extraction
+    runs with its full actor pool, then the all-to-all gets the whole
+    cluster (measured 13.1 vs 17.5 s streaming at 243k turns: the
+    fused shuffle starves while the pool still holds 3/4 of the cores,
+    and Ray's sort-based shuffle holds the input in the object store
+    anyway). Unbounded inputs STREAM: hot detection runs as overlapped
+    raw tasks over the raw input's conv_id column (turn counts are
     invariant under extraction — errors are values, rows are never
-    dropped), so the expensive extraction stream is consumed exactly
-    once and NEVER materialized. The known hot set then drives ONE
-    hot-aware assembly shuffle (``assemble_conversations_hotaware``):
-    cold conversations finalize in phase 1; only hot conversations'
-    doc-level partials take the tiny phase-2 shuffle. The earlier
+    dropped), and the stream feeds ONE hot-aware shuffle without ever
+    being held twice. (2) SKEW: cold conversations finalize in
+    phase 1; only hot conversations' doc-level partials take the tiny
+    phase-2 shuffle (``assemble_conversations_hotaware``). The earlier
     design split the raw input into concurrent cold/hot extraction
     branches with fractional actor pools — two assembly shuffles and
     double input scans measured 2.2x slower than extract-once on the
     50%%-hot skew corpus.
 
-    Assumes ``transcripts`` (and ``payloads``, if a Dataset) are
-    cheaply re-consumable — a parquet read or in-memory Dataset (the
-    hot scan re-reads only ``conv_id``). The checkpointed path
+    Without ``transcripts_path``, assumes ``transcripts`` is cheaply
+    re-consumable — a parquet read or in-memory Dataset (the sync hot
+    scan re-reads only ``conv_id``). The checkpointed path
     (pipelines/job.py) instead re-reads its checkpoint parquet via
     ``assemble_conversations_adaptive``.
 
     ``salt_span=None`` forces single-phase for every conversation."""
     from ..stages.assemble import assemble_conversations_hotaware
+
+    from ..stages.assemble import assemble_conversations_adaptive
 
     turns = extract_turns(transcripts, payloads,
                           payloads_path=payloads_path,
@@ -505,6 +579,25 @@ def extract_documents(
     if salt_span is None:
         return assemble_conversations(turns, salt_span=None,
                                       include_original=emit_original)
+    files = _payload_files(transcripts_path) if transcripts_path is not None else []
+    if files and _parquet_meta_rows(files) <= barrier_max_rows:
+        # Footer-gated BARRIER regime (see BARRIER_ASSEMBLY_MAX_ROWS):
+        # extraction runs with its full actor pool, then the assembly
+        # shuffle gets the whole cluster; hot counting reads the
+        # materialized turns (cheap re-consumption).
+        mat = turns.materialize()
+        return assemble_conversations_adaptive(
+            mat, hot_threshold=hot_threshold, salt_span=salt_span,
+            reusable_input=True, include_original=emit_original)
+    if files:
+        # STREAMING regime: overlapped hot count — raw tasks over the
+        # transcript shards run WHILE the main pipeline's read stages
+        # stream; the assembly closures block on the pending ref only
+        # at their first batch (by which point the count has finished).
+        hot_ref = _hot_conversations_overlapped(files, hot_threshold)
+        return assemble_conversations_hotaware(
+            turns, hot_ref, salt_span=salt_span,
+            include_original=emit_original)
     hot = _hot_conversations(transcripts, hot_threshold)
     return assemble_conversations_hotaware(turns, hot, salt_span=salt_span,
                                            include_original=emit_original)

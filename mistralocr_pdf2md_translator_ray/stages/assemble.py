@@ -184,15 +184,26 @@ def assemble_conversations_hotaware(per_turn_ds, hot: set,
     materialized because two consumers split it (cold finals, hot
     partials) — O(output bytes), never the per-turn stream (the
     round-3 regression this replaces).
+
+    ``hot`` may be a plain set OR a PENDING ``ray.ObjectRef`` resolving
+    to a ``pa.Array`` of hot conv ids (the overlapped count path in
+    ``extract_documents``): with a ref, the full hot-aware DAG is built
+    unconditionally — an empty hot array degenerates to exactly the
+    single-phase result (all salts 0, hot side empty) — and the
+    closures block on the ref only at their first batch.
     """
     import functools
 
     import ray
 
-    if not hot:
-        return assemble_conversations(per_turn_ds, salt_span=None,
-                                      num_buckets=num_buckets,
-                                      include_original=include_original)
+    if isinstance(hot, ray.ObjectRef):
+        hot_ref = hot
+    else:
+        if not hot:
+            return assemble_conversations(per_turn_ds, salt_span=None,
+                                          num_buckets=num_buckets,
+                                          include_original=include_original)
+        hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     import pyarrow.compute as pc
 
@@ -202,7 +213,6 @@ def assemble_conversations_hotaware(per_turn_ds, hot: set,
     ds = per_turn_ds.select_columns(
         ["conv_id", "turn_idx", "ts"] + [src for src, _ in value_cols])
     span = int(salt_span)
-    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     def add_salt_bucket(t: pa.Table) -> pa.Table:
         is_hot = pc.is_in(t["conv_id"], value_set=ray.get(hot_ref))

@@ -459,6 +459,34 @@ class TestHotSplitDocuments:
             base[["conv_id", "n_turns", "doc_md", "doc_md_original"]],
             check_dtype=False)
 
+    def test_barrier_and_streaming_regimes_equal_sync(self, tiny_fixture,
+                                                      ray_session, tmp_path):
+        """transcripts_path enables the footer-gated size adaptivity:
+        below barrier_max_rows the materialize-barrier + adaptive path
+        runs; barrier_max_rows=0 forces the STREAMING path, whose hot
+        count is a PENDING overlapped-task ref (incl. the empty-ref
+        degenerate DAG at a huge threshold). All must equal the
+        unsalted oracle composition."""
+        import pyarrow.parquet as pq
+
+        t, p = tiny_fixture
+        t_path = str(tmp_path / "transcripts.parquet")
+        pq.write_table(t, t_path)
+        base = self._docs(t, p, salt_span=None)
+        for threshold, kw in [
+            (40, {}),                                   # barrier, hot
+            (10_000, {}),                               # barrier, no hot
+            (40, {"barrier_max_rows": 0}),              # streaming, hot
+            (10_000, {"barrier_max_rows": 0}),          # streaming, empty ref
+            (40, {"emit_original": True}),
+            (40, {"emit_original": True, "barrier_max_rows": 0}),
+        ]:
+            got = self._docs(t, p, salt_span=16, hot_threshold=threshold,
+                             transcripts_path=t_path, **kw)
+            cols = ["conv_id", "n_turns", "doc_md"]
+            pd.testing.assert_frame_equal(got[cols], base[cols],
+                                          check_dtype=False)
+
     def test_hot_detection_matches_counts(self, tiny_fixture, ray_session):
         from mistralocr_pdf2md_translator_ray.pipelines.extract_pipeline import (
             _hot_conversations,
