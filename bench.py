@@ -181,8 +181,11 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
         rd.read_parquet(sub_t), payloads_path=sub_p,
         transcripts_path=sub_t))
 
-    # pathological skew: one conversation = 50% of 200k turns; exercises
-    # the pre-extraction hot/cold split + two-phase salted assembly
+    # pathological skew: one conversation = 50% of 200k turns. At this
+    # size the footer gate routes through the BARRIER regime (file-based
+    # hot count + materialize + hot-aware two-phase salted assembly);
+    # the STREAMING regime is measured by `bench.py --skew` (both
+    # variants) and equality-tested in TestHotSplitDocuments.
     skew_t, skew_p = _ensure_skew_corpus()
     timed("extract_documents_skew", lambda: extract_documents(
         rd.read_parquet(skew_t), payloads_path=skew_p,
@@ -340,9 +343,19 @@ def run_skew() -> dict:
                                    payloads_path=skew_p,
                                    transcripts_path=skew_t))
     sec = round(time.perf_counter() - t0, 3)
+    # forced STREAMING regime (barrier_max_rows=0): the >2M-row shape,
+    # measured here so the no-barrier path has a perf artifact too
+    t0 = time.perf_counter()
+    n2 = _consume(extract_documents(rd.read_parquet(skew_t),
+                                    payloads_path=skew_p,
+                                    transcripts_path=skew_t,
+                                    barrier_max_rows=0))
+    sec_stream = round(time.perf_counter() - t0, 3)
     ray.shutdown()
     return {"metric": "extract_documents over 50%-hot skew corpus",
-            "value": sec, "unit": "sec", "rows": n, "num_cpus": NUM_CPUS}
+            "value": sec, "unit": "sec", "rows": n,
+            "streaming_sec": sec_stream, "streaming_rows": n2,
+            "num_cpus": NUM_CPUS}
 
 
 if __name__ == "__main__":

@@ -466,7 +466,9 @@ def _hot_conversations(transcripts: "ray.data.Dataset",
 @ray.remote
 def _conv_counts_shard(files: list[str]) -> dict:
     """Per-shard conversation turn counts from the conv_id column only
-    (footer-indexed single-column read; no text bytes move)."""
+    (footer-indexed single-column read; no text bytes move). Null
+    conv_ids are dropped — matching the pandas groupby in the Dataset
+    hot-scan path, which silently drops NaN keys."""
     import pyarrow.compute as _pc
     import pyarrow.parquet as pq
 
@@ -475,40 +477,35 @@ def _conv_counts_shard(files: list[str]) -> dict:
         vc = _pc.value_counts(pq.read_table(f, columns=["conv_id"])["conv_id"])
         for v, c in zip(vc.field("values").to_pylist(),
                         vc.field("counts").to_pylist()):
-            out[v] = out.get(v, 0) + c
+            if v is not None:
+                out[v] = out.get(v, 0) + c
     return out
 
 
 @ray.remote
-def _hot_from_counts(threshold: int, *partials: dict):
-    """Combine per-shard counts; return the hot conv ids as a pa.Array
-    (the value_set the assembly closures consume). Holds one entry per
-    DISTINCT conversation in a single task heap — same bound as the
-    driver-side combine it overlaps with (billions of conversations
-    would route through _hot_conversations' distributed fallback
-    instead; pass transcripts_path=None there)."""
-    import pyarrow as _pa
-
+def _hot_from_counts(threshold: int, *partials: dict) -> set:
+    """Combine per-shard counts into the hot conv-id set. Holds one
+    entry per DISTINCT conversation in a single task heap — same bound
+    as the Dataset path's driver-side combine (billions of
+    conversations would route through _hot_conversations' distributed
+    fallback instead; pass transcripts_path=None there)."""
     agg: dict = {}
     for p in partials:
         for k, v in p.items():
             agg[k] = agg.get(k, 0) + v
-    return _pa.array(sorted(k for k, v in agg.items() if v > threshold),
-                     _pa.string())
+    return {k for k, v in agg.items() if v > threshold}
 
 
-def _hot_conversations_overlapped(files: list[str], threshold: int):
-    """Launch the hot-conversation count as raw Ray tasks over the
-    transcript parquet shards and return a PENDING ObjectRef of the hot
-    id array — the same overlap trick as the child-partial phase: the
-    count runs on the cluster WHILE the main extraction pipeline's read
-    stages stream, instead of serializing a full Dataset scan before
-    the pipeline can start (measured ~4-5 s of serial wall at bench
-    scale)."""
+def _hot_conversations_from_files(files: list[str], threshold: int):
+    """Hot-conversation count as raw Ray tasks over the transcript
+    parquet shards; returns a PENDING ObjectRef of the hot set. Much
+    cheaper than the full Dataset hot-scan (no Ray Data fixed costs —
+    parallel single-column reads + value_counts), and the caller can
+    launch it early and get() it only when assembly needs the set."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    k = max(1, min(len(files), max(1, cpus // 2)))
+    k = max(1, min(len(files), cpus // 2))
     shards = [files[i::k] for i in range(k)]
     partials = [_conv_counts_shard.remote(s) for s in shards]
     return _hot_from_counts.remote(threshold, *partials)
@@ -569,9 +566,9 @@ def extract_documents(
     ``assemble_conversations_adaptive``.
 
     ``salt_span=None`` forces single-phase for every conversation."""
-    from ..stages.assemble import assemble_conversations_hotaware
+    import ray
 
-    from ..stages.assemble import assemble_conversations_adaptive
+    from ..stages.assemble import assemble_conversations_hotaware
 
     turns = extract_turns(transcripts, payloads,
                           payloads_path=payloads_path,
@@ -580,23 +577,21 @@ def extract_documents(
         return assemble_conversations(turns, salt_span=None,
                                       include_original=emit_original)
     files = _payload_files(transcripts_path) if transcripts_path is not None else []
-    if files and _parquet_meta_rows(files) <= barrier_max_rows:
-        # Footer-gated BARRIER regime (see BARRIER_ASSEMBLY_MAX_ROWS):
-        # extraction runs with its full actor pool, then the assembly
-        # shuffle gets the whole cluster; hot counting reads the
-        # materialized turns (cheap re-consumption).
-        mat = turns.materialize()
-        return assemble_conversations_adaptive(
-            mat, hot_threshold=hot_threshold, salt_span=salt_span,
-            reusable_input=True, include_original=emit_original)
     if files:
-        # STREAMING regime: overlapped hot count — raw tasks over the
-        # transcript shards run WHILE the main pipeline's read stages
-        # stream; the assembly closures block on the pending ref only
-        # at their first batch (by which point the count has finished).
-        hot_ref = _hot_conversations_overlapped(files, hot_threshold)
+        # Launch the raw-task hot count NOW (parallel single-column
+        # reads, no Ray Data fixed costs); get() it only when the
+        # regime decision needs the set — both regimes share it, the
+        # empty-hot single-phase shortcut stays reachable, and the
+        # barrier regime skips the post-materialize count shuffle the
+        # adaptive path would run.
+        hot_ref = _hot_conversations_from_files(files, hot_threshold)
+        if _parquet_meta_rows(files) <= barrier_max_rows:
+            # Footer-gated BARRIER regime (BARRIER_ASSEMBLY_MAX_ROWS):
+            # extraction runs with its full actor pool, then the
+            # assembly shuffle gets the whole cluster.
+            turns = turns.materialize()
         return assemble_conversations_hotaware(
-            turns, hot_ref, salt_span=salt_span,
+            turns, ray.get(hot_ref), salt_span=salt_span,
             include_original=emit_original)
     hot = _hot_conversations(transcripts, hot_threshold)
     return assemble_conversations_hotaware(turns, hot, salt_span=salt_span,

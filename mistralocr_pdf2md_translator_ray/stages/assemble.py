@@ -183,27 +183,18 @@ def assemble_conversations_hotaware(per_turn_ds, hot: set,
     Phase-1 output is DOC-level (one row per (conv, salt)) and is
     materialized because two consumers split it (cold finals, hot
     partials) — O(output bytes), never the per-turn stream (the
-    round-3 regression this replaces).
-
-    ``hot`` may be a plain set OR a PENDING ``ray.ObjectRef`` resolving
-    to a ``pa.Array`` of hot conv ids (the overlapped count path in
-    ``extract_documents``): with a ref, the full hot-aware DAG is built
-    unconditionally — an empty hot array degenerates to exactly the
-    single-phase result (all salts 0, hot side empty) — and the
-    closures block on the ref only at their first batch.
+    round-3 regression this replaces). With an EMPTY hot set the
+    single-phase path runs instead and nothing materializes at all.
     """
     import functools
 
     import ray
 
-    if isinstance(hot, ray.ObjectRef):
-        hot_ref = hot
-    else:
-        if not hot:
-            return assemble_conversations(per_turn_ds, salt_span=None,
-                                          num_buckets=num_buckets,
-                                          include_original=include_original)
-        hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
+    if not hot:
+        return assemble_conversations(per_turn_ds, salt_span=None,
+                                      num_buckets=num_buckets,
+                                      include_original=include_original)
+    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     import pyarrow.compute as pc
 

@@ -473,18 +473,24 @@ class TestHotSplitDocuments:
         t_path = str(tmp_path / "transcripts.parquet")
         pq.write_table(t, t_path)
         base = self._docs(t, p, salt_span=None)
+        base_dual = self._docs(t, p, salt_span=None, emit_original=True)
         for threshold, kw in [
             (40, {}),                                   # barrier, hot
             (10_000, {}),                               # barrier, no hot
             (40, {"barrier_max_rows": 0}),              # streaming, hot
-            (10_000, {"barrier_max_rows": 0}),          # streaming, empty ref
+            (10_000, {"barrier_max_rows": 0}),          # streaming, no hot
             (40, {"emit_original": True}),
             (40, {"emit_original": True, "barrier_max_rows": 0}),
         ]:
             got = self._docs(t, p, salt_span=16, hot_threshold=threshold,
                              transcripts_path=t_path, **kw)
-            cols = ["conv_id", "n_turns", "doc_md"]
-            pd.testing.assert_frame_equal(got[cols], base[cols],
+            if kw.get("emit_original"):
+                cols = ["conv_id", "n_turns", "doc_md", "doc_md_original"]
+                exp = base_dual
+            else:
+                cols = ["conv_id", "n_turns", "doc_md"]
+                exp = base
+            pd.testing.assert_frame_equal(got[cols], exp[cols],
                                           check_dtype=False)
 
     def test_hot_detection_matches_counts(self, tiny_fixture, ray_session):
