@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins
         "revenue_by_nation": lib.revenue_by_nation,
         "supplier_nation": lib.supplier_nation,
+        "shipping_priority": lib.shipping_priority,
         # sort / top-k / distinct / grouped top-k / semi & anti joins
         "top_orders": lib.top_orders,
         "top_orders_per_customer": lib.top_orders_per_customer,
@@ -197,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_stats": lib.line_stats,
         "knn_cosine_multi": lib.knn_cosine_multi,
         "value_percentiles_by_type": lib.value_percentiles_by_type,
+        "value_quantiles_cont": lib.value_quantiles_cont,
         "embedding_norms": lib.embedding_norms,
         "stratified_sample": lib.stratified_sample,
         "text_quality": _text_quality_query,
@@ -242,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_revenue": lib.FILTERED_REVENUE_SQL,
         "revenue_by_nation": lib.REVENUE_BY_NATION_SQL,
         "supplier_nation": lib.SUPPLIER_NATION_SQL,
+        "shipping_priority": lib.SHIPPING_PRIORITY_SQL,
         "top_orders": lib.TOP_ORDERS_SQL,
         "top_orders_per_customer": lib.TOP_ORDERS_PER_CUSTOMER_SQL,
         "distinct_segments": lib.DISTINCT_SEGMENTS_SQL,
@@ -285,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "line_stats": lib.LINE_STATS_SQL,
         "knn_cosine_multi": lib.KNN_COSINE_MULTI_SQL,
         "value_percentiles_by_type": lib.VALUE_PERCENTILES_SQL,
+        "value_quantiles_cont": lib.VALUE_QUANTILES_CONT_SQL,
         "embedding_norms": lib.EMBEDDING_NORMS_SQL,
         "stratified_sample": lib.STRATIFIED_SAMPLE_SQL,
         "knn_cosine": lib.KNN_COSINE_SQL,

@@ -195,6 +195,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("q1_pricing_summary", lambda: lib.q1_pricing_summary(SF_DIR))
     timed("filtered_revenue", lambda: lib.filtered_revenue(SF_DIR))
     timed("revenue_by_nation", lambda: lib.revenue_by_nation(SF_DIR))
+    timed("shipping_priority", lambda: lib.shipping_priority(SF_DIR))
     timed("top_orders", lambda: lib.top_orders(SF_DIR))
     timed("events_by_type", lambda: lib.events_by_type(SF_DIR))
     timed("sessionize_events", lambda: lib.sessionize_events(SF_DIR))
@@ -230,6 +231,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("text_char_metrics", lambda: lib.text_char_metrics(SF_DIR))
     timed("value_percentiles_by_type",
           lambda: lib.value_percentiles_by_type(SF_DIR))
+    timed("value_quantiles_cont", lambda: lib.value_quantiles_cont(SF_DIR))
     timed("embedding_norms", lambda: lib.embedding_norms(SF_DIR))
     timed("stratified_sample", lambda: lib.stratified_sample(SF_DIR))
     timed("top_tokens", lambda: lib.top_tokens(SF_DIR))

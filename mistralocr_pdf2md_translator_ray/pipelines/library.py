@@ -377,6 +377,143 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10,
+                      num_buckets: int = 32) -> "rd.Dataset":
+    """TPC-H-Q3-shaped composed query: segment-filtered customers |><|
+    date-filtered orders |><| shipdate-filtered lineitem, grouped by
+    order, top-k by revenue. Scale shape:
+
+    - every predicate is applied AT THE SCAN side it belongs to, so the
+      shuffles only move qualifying rows;
+    - lineitem pre-aggregates to one (orderkey, rev) partial per
+      orderkey per batch BEFORE the join shuffle;
+    - the segment semi-join moves customer KEYS only (customer is
+      fact-scaled at 100 TB — never broadcast here), co-grouped with
+      the filtered orders in one bucketed shuffle;
+    - the second co-group joins lineitem partials to qualified orders
+      AND prunes each bucket to its local top-k (a bucket holds every
+      partial for its orderkeys, so the global top-k is a subset of the
+      per-bucket top-ks) — the final Sort sees <= k rows per bucket.
+
+    Revenue goes through exact integer units (x10000) and back, the
+    module's float-sum parity contract."""
+    from ..stages.joins import cogroup
+
+    cutoff64 = np.datetime64(cutoff, "us")
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], segment))
+        return pa.table({"o_custkey": t["c_custkey"].cast(pa.int64())})
+
+    keys = cust.map_batches(cust_keys, batch_format="pyarrow",
+                            batch_size=65536)
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_orderpriority"])
+
+    def orders_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"],
+                                pa.scalar(cutoff64, pa.timestamp("us"))))
+
+    orders_f = orders.map_batches(orders_filter, batch_format="pyarrow",
+                                  batch_size=65536)
+
+    def semi_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        m = ldf[ldf["o_custkey"].isin(set(rdf["o_custkey"]))]
+        return pd.DataFrame({
+            "l_orderkey": m["o_orderkey"].astype("int64"),
+            "o_orderdate": m["o_orderdate"],
+            "o_orderpriority": m["o_orderpriority"].astype("object"),
+        })
+
+    orders_q = cogroup(
+        orders_f,
+        keys,
+        on=["o_custkey"],
+        merge_fn=semi_merge,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us")),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].to_numpy() > cutoff64]
+        rev_u = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000 + 0.5
+        ).astype("int64")
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev": rev_u})
+        return out.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+
+    li_agg = li.map_batches(li_partial, batch_format="pandas",
+                            batch_size=65536)
+
+    def merge_topk(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "l_orderkey": pd.Series(dtype="int64"),
+            "revenue": pd.Series(dtype="float64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series(dtype="object"),
+        })
+        if ldf.empty or rdf.empty:
+            return empty
+        agg = ldf.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        m = agg.merge(rdf, on="l_orderkey", how="inner")
+        if m.empty:
+            return empty
+        m = pd.DataFrame({
+            "l_orderkey": m["l_orderkey"].astype("int64"),
+            "revenue": m["rev"].astype("int64") / 10000.0,
+            "o_orderdate": m["o_orderdate"],
+            "o_orderpriority": m["o_orderpriority"].astype("object"),
+        })
+        return m.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                             ascending=[False, True, True]).head(k)
+
+    joined = cogroup(
+        li_agg,
+        orders_q,
+        on=["l_orderkey"],
+        merge_fn=merge_topk,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("rev", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]),
+        num_buckets=num_buckets,
+    )
+    return (joined.sort(["revenue", "o_orderdate", "l_orderkey"],
+                        descending=[True, False, False])
+            .limit(k))
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey AS l_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       o.o_orderdate AS o_orderdate,
+       o.o_orderpriority AS o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sort / top-k / distinct (O-series, §2.7)
 # ---------------------------------------------------------------------------
@@ -1620,6 +1757,106 @@ SELECT event_type,
        quantile_disc(value, 0.25) AS p25,
        quantile_disc(value, 0.5)  AS p50,
        quantile_disc(value, 0.9)  AS p90,
+       CAST(count(*) AS BIGINT)   AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def value_quantiles_cont(sf_dir: str, num_buckets: int = 8,
+                         one_task_max_rows: int | None = None
+                         ) -> "rd.Dataset":
+    """INTERPOLATED grouped quantiles (quantile_cont semantics) of
+    `value` per event_type — the continuous counterpart of
+    value_percentiles_by_type, same adaptive routing. DuckDB parity is
+    pinned bitwise: position h = q*(n-1), and the interpolation is the
+    two-sided lerp ``v[lo]*(1-frac) + v[hi]*frac`` (NOT
+    ``v[lo] + (v[hi]-v[lo])*frac``, which differs in the last bits on
+    ~20% of random inputs — verified over n in [1,1001] x 4 quantiles).
+    Oversized groups select BOTH bracketing order statistics through
+    the same multi-target distributed histogram narrowing (two ranks
+    per quantile share each round's pass), then interpolate from the
+    exact elements — no task ever holds a big group."""
+    if one_task_max_rows is None:
+        one_task_max_rows = _MEDIAN_ONE_TASK_MAX
+    counts, big_types = _route_types_by_size(sf_dir, one_task_max_rows)
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    qlabels = [(q, f"p{int(q * 100)}") for q in _PCT_QUANTILES]
+
+    small_part = None
+    if not big_types or len(big_types) < len(counts):
+        small_ds = ds
+        if big_types:
+            bt = sorted(big_types)
+            small_ds = ds.map_batches(
+                lambda df, _bt=bt: df[~df["event_type"].isin(_bt)],
+                batch_format="pandas")
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["b"] = bucket_ids_np(df["event_type"].to_numpy(), num_buckets)
+            return df
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for et, sub in g.groupby("event_type", sort=False):
+                v = np.sort(sub["value"].to_numpy())
+                n = len(v)
+                row = [et]
+                for q, _ in qlabels:
+                    h = q * (n - 1)
+                    lo, hi = int(np.floor(h)), int(np.ceil(h))
+                    fr = h - lo
+                    row.append(float(v[lo] * (1 - fr) + v[hi] * fr))
+                row.append(n)
+                out.append(tuple(row))
+            r = pd.DataFrame(out, columns=["event_type"]
+                             + [lbl for _, lbl in qlabels] + ["n_events"])
+            r["n_events"] = r["n_events"].astype("int64")
+            return r
+
+        small_part = (
+            small_ds.map_batches(add_bucket, batch_format="pandas",
+                                 batch_size=65536)
+            .groupby("b")
+            .map_groups(per_bucket, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        if not big_types:
+            return small_part
+
+    big_ds = ds.map_batches(
+        lambda df, _bt=sorted(big_types): df[df["event_type"].isin(_bt)],
+        batch_format="pandas")
+    stats = _big_type_key_stats(big_ds)
+    rank_fns = {}
+    for q, lbl in qlabels:
+        rank_fns[f"{lbl}_lo"] = (
+            lambda n, _q=q: int(np.floor(_q * (n - 1))))
+        rank_fns[f"{lbl}_hi"] = (
+            lambda n, _q=q: int(np.ceil(_q * (n - 1))))
+    raw = _ranks_by_histogram_narrowing(big_ds, stats, rank_fns)
+    n = raw["n_events"].to_numpy().astype("int64")
+    cols = {"event_type": raw["event_type"]}
+    for q, lbl in qlabels:
+        h = q * (n - 1)
+        fr = h - np.floor(h)
+        lo = raw[f"{lbl}_lo"].to_numpy()
+        hi = raw[f"{lbl}_hi"].to_numpy()
+        cols[lbl] = lo * (1 - fr) + hi * fr
+    cols["n_events"] = n
+    big_df = pd.DataFrame(cols)
+    big_part = rd.from_arrow(pa.Table.from_pandas(big_df, preserve_index=False))
+    if small_part is None:
+        return big_part
+    return small_part.union(big_part)
+
+
+VALUE_QUANTILES_CONT_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90,
        CAST(count(*) AS BIGINT)   AS n_events
 FROM events GROUP BY event_type
 """

@@ -41,15 +41,19 @@ def test_oracle_queries_inside_driver_window():
     """The driver SQL-checks only a bounded prefix (50 in round 3) of
     queries(); every oracle-backed entry must precede the rows-only
     tail or its green correctness row silently disappears (lost
-    knn_cosine in round 3). Also pin the highest-signal rows-only
-    entries (flagship extraction) into the window."""
+    knn_cosine in round 3). The oracle set is capped at the window size
+    (adding a 51st SQL query needs a deliberate trade), and the
+    flagship extraction leads the rows-only tail (its correctness gate
+    is entry() + the pytest golden suite, not the driver's rows-only
+    count)."""
     names = list(entry_mod.queries())
     sql = set(entry_mod.oracle_sql())
+    assert len(sql) <= 50, "oracle set exceeds the driver's check window"
     assert sql <= set(names[:50]), sorted(sql - set(names[:50]))
     n_sql = len(sql)
     assert names[:n_sql] == [n for n in names[:n_sql] if n in sql], \
         "rows-only query interleaved before an oracle-backed one"
-    assert "extract_turns" in names[:50]
+    assert names[n_sql] == "extract_turns"
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
@@ -207,6 +211,84 @@ class TestPercentileNarrowing:
         default = _normalize(_to_pandas(value_percentiles_by_type(SF_DIR)))
         pd.testing.assert_frame_equal(got, default, check_dtype=False)
         exp = _normalize(ddb.sql(VALUE_PERCENTILES_SQL).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+
+
+class TestQuantileContNarrowing:
+    def test_forced_narrowing_matches_default_and_oracle(self, ddb,
+                                                         ray_session):
+        """The interpolated (quantile_cont) grouped quantiles must agree
+        between the one-task-sort path and the histogram-narrowing path
+        that selects BOTH bracketing order statistics distributed, and
+        both must match DuckDB bitwise (the lerp formula is pinned —
+        see value_quantiles_cont's docstring)."""
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            VALUE_QUANTILES_CONT_SQL,
+            value_quantiles_cont,
+        )
+
+        got = _normalize(_to_pandas(
+            value_quantiles_cont(SF_DIR, one_task_max_rows=0)))
+        default = _normalize(_to_pandas(value_quantiles_cont(SF_DIR)))
+        pd.testing.assert_frame_equal(got, default, check_dtype=False)
+        exp = _normalize(ddb.sql(VALUE_QUANTILES_CONT_SQL).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+
+
+class TestShippingPriorityTiebreak:
+    def test_planted_revenue_tie(self, tmp_path, ray_session):
+        """Two orders with IDENTICAL revenue must order by
+        (o_orderdate, l_orderkey) — the full SQL tiebreak, applied both
+        in the per-bucket prune and the final global sort."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            SHIPPING_PRIORITY_SQL,
+            shipping_priority,
+        )
+
+        d = tmp_path / "tie"
+        d.mkdir()
+        n_ord = 30
+        cust = pa.table({
+            "c_custkey": pa.array(range(10), pa.int64()),
+            "c_mktsegment": pa.array(["BUILDING"] * 10, pa.string()),
+        })
+        ts = np.datetime64("1996-01-01", "us")
+        orders = pa.table({
+            "o_orderkey": pa.array(range(n_ord), pa.int64()),
+            "o_custkey": pa.array([i % 10 for i in range(n_ord)], pa.int64()),
+            # half the orders share one date -> date ties fall to orderkey
+            "o_orderdate": pa.array(
+                [ts + np.timedelta64(i % 2, "D") for i in range(n_ord)],
+                pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * n_ord, pa.string()),
+        })
+        # every order: one line item with the SAME revenue -> all tie
+        li = pa.table({
+            "l_orderkey": pa.array(range(n_ord), pa.int64()),
+            "l_extendedprice": pa.array([1000.0] * n_ord, pa.float64()),
+            "l_discount": pa.array([0.0] * n_ord, pa.float64()),
+            "l_shipdate": pa.array(
+                [np.datetime64("1999-01-01", "us")] * n_ord,
+                pa.timestamp("us")),
+        })
+        pq2.write_table(cust, str(d / "customer.parquet"))
+        pq2.write_table(orders, str(d / "orders.parquet"))
+        pq2.write_table(li, str(d / "lineitem.parquet"))
+
+        got = _normalize(_to_pandas(shipping_priority(str(d))))
+        con = duckdb.connect()
+        for t in ["customer", "orders", "lineitem"]:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+        exp = _normalize(con.sql(SHIPPING_PRIORITY_SQL).df())
+        con.close()
+        assert len(got) == 10
         pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                       check_exact=True)
 
