@@ -1,8 +1,10 @@
 from .checkpoint import (
     add_part_id,
     run_checkpointed,
+    run_checkpointed_append,
     load_lineage,
     part_id_for_key,
 )
 
-__all__ = ["add_part_id", "run_checkpointed", "load_lineage", "part_id_for_key"]
+__all__ = ["add_part_id", "run_checkpointed", "run_checkpointed_append",
+           "load_lineage", "part_id_for_key"]

@@ -229,3 +229,154 @@ def run_checkpointed(
         _save_lineage(ckpt_dir, lineage)
 
     return rd.read_parquet(data_dir)
+
+
+# ---------------------------------------------------------------------------
+# Append-only incremental processing (shard-keyed lineage)
+# ---------------------------------------------------------------------------
+
+_SHARDS = "_shards.json"
+
+
+def _load_shards(ckpt_dir: str) -> dict[str, dict]:
+    path = os.path.join(ckpt_dir, _SHARDS)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _save_shards(ckpt_dir: str, shards: dict[str, dict]) -> None:
+    path = os.path.join(ckpt_dir, _SHARDS)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(sorted(shards.items())), f, indent=1)
+    os.replace(tmp, path)  # atomic, same crash contract as _lineage
+
+
+def _shard_fingerprint(path: str) -> str:
+    """Cheap content fingerprint: file size + parquet footer row count.
+    No data scan — two metadata reads. (mtime is deliberately excluded:
+    a byte-identical copy/restore must not force recompute.)"""
+    import pyarrow.parquet as pq
+
+    return f"{os.path.getsize(path)}:{pq.ParquetFile(path).metadata.num_rows}"
+
+
+def run_checkpointed_append(
+    input_files: list[str],
+    transform,
+    ckpt_dir: str,
+    hash_cols: list[str] | None = None,
+    columns: list[str] | None = None,
+) -> "rd.Dataset":
+    """Incremental append-only processing: lineage is keyed by INPUT
+    SHARD (file), not by key hash — the complement of
+    ``run_checkpointed`` for the 100-TB pattern where a corpus GROWS
+    (new parquet shards land daily) and reprocessing must touch only
+    the new files.
+
+    Key-hash partitioning cannot express this: new conversations
+    scatter across every crc32 bucket, so any input growth invalidates
+    ALL partitions there. Here each input file is its own output
+    partition (``<ckpt>/data/shard_id=<sid>/``):
+
+    - NEW files (unseen path) are processed and appended;
+    - CHANGED files (size or footer row count differs) are recomputed
+      in place — their old partition is dropped first;
+    - REMOVED files have their output partition pruned (manifest first,
+      then data — a crash never leaves lineage claiming pruned rows);
+    - UNCHANGED files are never read, never recomputed, their output
+      bytes never rewritten.
+
+    ``transform(ds)`` receives ONE Dataset over all pending shards with
+    a ``shard_id`` column it must preserve (same contract as
+    ``run_checkpointed``'s ``part_id``) — so a single streaming
+    pipeline covers all new files, not one pipeline per file. The
+    transform must be shard-local (row-wise maps/filters/flat-maps):
+    cross-shard aggregation would change already-finalized partitions
+    and belongs downstream of this sink.
+
+    Fingerprints are metadata-only (size + footer rows, no scan); the
+    per-shard output verify is the same readback content hash as
+    ``run_checkpointed``. Returns the full output as a lazy Dataset.
+    """
+    import numpy as np
+
+    hash_cols = hash_cols or ["conv_id", "turn_idx", "md", "status"]
+    data_dir = os.path.join(ckpt_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    files = sorted(os.path.abspath(p) for p in input_files)
+    shards = _load_shards(ckpt_dir)
+
+    # prune removed inputs (manifest before data, crash-safe order)
+    removed = [p for p in shards if p not in files]
+    if removed:
+        pruned_sids = [shards[p]["sid"] for p in removed]
+        for p in removed:
+            del shards[p]
+        _save_shards(ckpt_dir, shards)
+        for sid in pruned_sids:
+            d = os.path.join(data_dir, f"shard_id={sid}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+    fps = {p: _shard_fingerprint(p) for p in files}
+    pending = [p for p in files
+               if p not in shards or shards[p]["fingerprint"] != fps[p]]
+
+    if pending:
+        next_sid = 1 + max((v["sid"] for v in shards.values()), default=-1)
+        sid_of: dict[str, int] = {}
+        for p in pending:
+            if p in shards:          # changed file: recompute in place
+                sid_of[p] = shards[p]["sid"]
+            else:
+                sid_of[p] = next_sid
+                next_sid += 1
+
+        def tag_shard(t: pa.Table) -> pa.Table:
+            # one sid lookup per path value (a block spans one file in
+            # practice; dictionary-encode keeps it vectorized either way)
+            enc = t["path"].combine_chunks().dictionary_encode()
+            # Ray may render paths without the leading '/' depending on
+            # filesystem resolution — normalize back to absolute
+            lut = np.array(
+                [sid_of[os.path.abspath("/" + v.as_py().lstrip("/"))]
+                 for v in enc.dictionary],
+                dtype=np.int32)
+            sids = lut[enc.indices.to_numpy(zero_copy_only=False)]
+            return t.drop_columns(["path"]).append_column(
+                "shard_id", pa.array(sids, pa.int32()))
+
+        pending_ds = rd.read_parquet(pending, columns=columns,
+                                     include_paths=True)
+        out = transform(pending_ds.map_batches(tag_shard,
+                                               batch_format="pyarrow"))
+
+        # clear partial leftovers / stale versions of pending shards
+        for p in pending:
+            d = os.path.join(data_dir, f"shard_id={sid_of[p]}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        out.write_parquet(data_dir, partition_cols=["shard_id"])
+
+        verify = {}
+        for p in pending:
+            d = os.path.join(data_dir, f"shard_id={sid_of[p]}")
+            if not os.path.isdir(d):
+                os.makedirs(d, exist_ok=True)  # shard produced no rows
+            verify[p] = _verify_partition.remote(d, hash_cols)
+        for p, ref in verify.items():
+            count, chash, hash_fn = ray.get(ref)
+            shards[p] = {
+                "sid": sid_of[p],
+                "fingerprint": fps[p],
+                "row_count": count,
+                "content_hash": f"{chash:016x}",
+                "hash_fn": hash_fn,
+            }
+        _save_shards(ckpt_dir, shards)
+
+    return rd.read_parquet(data_dir)

@@ -247,6 +247,113 @@ class TestResumeValidation:
         pd.testing.assert_frame_equal(out1, out2)
 
 
+class TestAppendCheckpoint:
+    """Append-only incremental mode: lineage keyed by input SHARD —
+    growing the corpus must process exactly the new files (key-hash
+    partitioning can't express this: new keys scatter over every crc32
+    bucket)."""
+
+    def _write_shard(self, path, lo, hi):
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table({
+            "conv_id": pa.array([f"conv-{i:04d}" for i in range(lo, hi)]),
+            "turn_idx": pa.array([0] * (hi - lo), pa.int32()),
+            "text": pa.array([f"body {i}" for i in range(lo, hi)]),
+        }), path)
+
+    def _transform(self, marker_dir):
+        def transform(ds):
+            def fn(t: pa.Table) -> pa.Table:
+                os.makedirs(marker_dir, exist_ok=True)
+                for s in set(t["shard_id"].to_pylist()):
+                    open(os.path.join(marker_dir, f"touched-{s}"), "w").close()
+                md = pa.array([s.upper() for s in t["text"].to_pylist()],
+                              pa.string())
+                return t.append_column("md", md).append_column(
+                    "status", pa.array(["ok"] * t.num_rows, pa.string())
+                ).select(["conv_id", "turn_idx", "md", "status", "shard_id"])
+            return ds.map_batches(fn, batch_format="pyarrow")
+        return transform
+
+    def _read(self, ds):
+        df = ds.to_pandas().sort_values("conv_id").reset_index(drop=True)
+        return df[["conv_id", "md", "status"]]
+
+    def test_grow_processes_only_new_shards(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.state import run_checkpointed_append
+
+        f1, f2, f3 = (str(tmp_path / f"s{i}.parquet") for i in (1, 2, 3))
+        self._write_shard(f1, 0, 30)
+        self._write_shard(f2, 30, 50)
+        ckpt = str(tmp_path / "ckpt")
+
+        out1 = self._read(run_checkpointed_append(
+            [f1, f2], self._transform(str(tmp_path / "m1")), ckpt))
+        assert len(out1) == 50
+        assert out1["md"].iloc[0] == "BODY 0"
+
+        # corpus grows by one shard: only it is processed; the finished
+        # shards' output bytes are untouched (mtime-verified)
+        self._write_shard(f3, 50, 65)
+        data = os.path.join(ckpt, "data")
+        mtimes = {d: os.path.getmtime(os.path.join(data, d))
+                  for d in os.listdir(data)}
+        m2 = str(tmp_path / "m2")
+        out2 = self._read(run_checkpointed_append(
+            [f1, f2, f3], self._transform(m2), ckpt))
+        assert len(out2) == 65
+        touched = sorted(int(f.split("-")[1]) for f in os.listdir(m2))
+        assert len(touched) == 1  # exactly the new shard
+        for d, mt in mtimes.items():
+            assert os.path.getmtime(os.path.join(data, d)) == mt
+        pd.testing.assert_frame_equal(out2.iloc[:50].reset_index(drop=True),
+                                      out1)
+
+        # identical input list again: zero recompute
+        m3 = str(tmp_path / "m3")
+        out3 = self._read(run_checkpointed_append(
+            [f1, f2, f3], self._transform(m3), ckpt))
+        assert not os.path.exists(m3)
+        pd.testing.assert_frame_equal(out3, out2)
+
+    def test_changed_shard_recomputed_in_place(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.state import run_checkpointed_append
+
+        f1 = str(tmp_path / "s1.parquet")
+        f2 = str(tmp_path / "s2.parquet")
+        self._write_shard(f1, 0, 30)
+        self._write_shard(f2, 30, 50)
+        ckpt = str(tmp_path / "ckpt")
+        run_checkpointed_append(
+            [f1, f2], self._transform(str(tmp_path / "m1")), ckpt)
+
+        self._write_shard(f2, 30, 55)  # f2 changed (row count differs)
+        m2 = str(tmp_path / "m2")
+        out2 = self._read(run_checkpointed_append(
+            [f1, f2], self._transform(m2), ckpt))
+        touched = [int(f.split("-")[1]) for f in os.listdir(m2)]
+        assert len(touched) == 1
+        assert len(out2) == 55  # old f2 output replaced, not appended
+
+    def test_removed_shard_pruned(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.state import run_checkpointed_append
+
+        f1 = str(tmp_path / "s1.parquet")
+        f2 = str(tmp_path / "s2.parquet")
+        self._write_shard(f1, 0, 30)
+        self._write_shard(f2, 30, 50)
+        ckpt = str(tmp_path / "ckpt")
+        run_checkpointed_append(
+            [f1, f2], self._transform(str(tmp_path / "m1")), ckpt)
+
+        m2 = str(tmp_path / "m2")
+        out2 = self._read(run_checkpointed_append(
+            [f2], self._transform(m2), ckpt))
+        assert not os.path.exists(m2)      # nothing recomputed
+        assert len(out2) == 20             # f1's partition pruned
+        assert out2["conv_id"].iloc[0] == "conv-0030"
+
+
 class TestDocsPhaseCrashSafety:
     def test_partial_docs_dir_cleared_on_rerun(self, tmp_path):
         import pyarrow.parquet as pq
