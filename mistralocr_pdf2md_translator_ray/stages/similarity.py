@@ -56,6 +56,80 @@ def _centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
     return C
 
 
+def kmeans_refine(sf_dir: str, C0: np.ndarray, n_iters: int = 2,
+                  batch_size: int = 8192) -> tuple[np.ndarray, list[float]]:
+    """Distributed spherical k-means (Lloyd) refinement over the FULL
+    embeddings table — the iterative-algorithm pattern on Ray Data:
+    each iteration is ONE streaming pass where every batch emits a
+    K x D partial sum + K counts (+ its objective contribution), the
+    partials pre-reduce on-cluster to <= 8 rows, and the driver update
+    is O(K*D). The corpus never concentrates anywhere: per-iteration
+    driver traffic is centroids-sized, independent of row count.
+
+    Returns (refined centroids, per-iteration objective) — the
+    objective (sum of cosine similarity to the assigned centroid) is
+    non-decreasing under spherical Lloyd updates, which the tests pin.
+    Empty clusters keep their previous centroid."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    C = np.ascontiguousarray(C0, dtype=np.float64)
+    K, D = C.shape
+    objectives: list[float] = []
+
+    def combine(df):
+        import pandas as pd
+
+        S = np.zeros(K * D, np.float64)
+        cnt = np.zeros(K, np.int64)
+        obj = 0.0
+        for s_blob, c_blob, o in zip(df["S"], df["cnt"], df["obj"]):
+            S += np.frombuffer(s_blob, np.float64)
+            cnt += np.frombuffer(c_blob, np.int64)
+            obj += o
+        return pd.DataFrame({"S": [S.tobytes()], "cnt": [cnt.tobytes()],
+                             "obj": [obj]})
+
+    for _ in range(n_iters):
+        ref = ray.put(C)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            Cc = ray.get(_ref)
+            M = list_column_to_matrix(t["embedding"])
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ Cc.T
+            a = sims.argmax(axis=1)
+            obj = float(sims[np.arange(len(a)), a].sum())
+            S = np.zeros_like(Cc)
+            np.add.at(S, a, M)
+            cnt = np.bincount(a, minlength=K).astype(np.int64)
+            return pa.table({"S": pa.array([S.reshape(-1).tobytes()],
+                                           pa.binary()),
+                             "cnt": pa.array([cnt.tobytes()], pa.binary()),
+                             "obj": pa.array([obj], pa.float64())})
+
+        rows = (
+            rd.read_parquet(path, columns=["embedding"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+            .repartition(8)
+            .map_batches(combine, batch_format="pandas", batch_size=None)
+            .take_all()
+        )  # <= 8 centroid-sized rows reach the driver
+        S = np.zeros(K * D, np.float64)
+        cnt = np.zeros(K, np.int64)
+        obj = 0.0
+        for r in rows:
+            S += np.frombuffer(r["S"], np.float64)
+            cnt += np.frombuffer(r["cnt"], np.int64)
+            obj += r["obj"]
+        objectives.append(obj)
+        S = S.reshape(K, D)
+        nonempty = cnt > 0
+        C = C.copy()
+        C[nonempty] = S[nonempty] / np.linalg.norm(
+            S[nonempty], axis=1, keepdims=True)
+    return C, objectives
+
+
 def knn_cosine_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
                    nprobe: int = 3, seed: int = 5) -> "rd.Dataset":
     """IVF-bucketed approximate top-k for the vec_id=0 query vector.
@@ -110,15 +184,20 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
 # ---------------------------------------------------------------------------
 
 def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 8,
-                    seed: int = 5) -> np.ndarray:
+                    seed: int = 5, refine_iters: int = 0) -> np.ndarray:
     """Partition the embeddings table by nearest-centroid id into
     ``<index_dir>/cid=<k>/`` parquet plus ``centroids.npy``.
 
     One streaming pass: assignment happens per batch against the
     broadcast centroid matrix; Ray's partitioned parquet writer routes
     rows to their partition directories. Returns the centroid matrix.
-    """
+    ``refine_iters > 0`` runs that many distributed spherical-k-means
+    passes over the full table between the sampled init and the
+    assignment write (``kmeans_refine`` — one extra corpus scan each,
+    tighter partitions, same index layout)."""
     C = _centroids(sf_dir, n_centroids, seed)
+    if refine_iters > 0:
+        C, _ = kmeans_refine(sf_dir, C, n_iters=refine_iters)
     c_ref = ray.put(C)
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),

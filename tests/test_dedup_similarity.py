@@ -370,6 +370,79 @@ class TestIvfIndex:
         assert len(set(brute["vec_id"]) & set(part["vec_id"])) >= 7
 
 
+class TestKmeansRefine:
+    def _write_clusters(self, d, n_clusters=4, per=300, dim=8, spread=0.05):
+        """Well-separated planted clusters on the unit sphere."""
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        vecs, labels = [], []
+        for c in range(n_clusters):
+            pts = centers[c] + spread * rng.standard_normal((per, dim))
+            vecs.append(pts)
+            labels.extend([c] * per)
+        V = np.vstack(vecs)
+        emb = pa.table({
+            "vec_id": pa.array(range(len(V)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in V],
+                                  pa.list_(pa.float32())),
+        })
+        pq.write_table(emb, str(d / "embeddings.parquet"),
+                       row_group_size=200)
+        return centers, np.array(labels), V
+
+    def test_objective_nondecreasing_and_recovers_clusters(
+            self, tmp_path, ray_session):
+        """Spherical Lloyd's objective (sum cos-sim to assigned
+        centroid) must be non-decreasing per iteration, and from a bad
+        deterministic init the refined centroids must land on the
+        planted ones."""
+        from mistralocr_pdf2md_translator_ray.stages.similarity import kmeans_refine
+
+        d = tmp_path / "km"
+        d.mkdir()
+        centers, _, V = self._write_clusters(d)
+
+        # adversarial init: 4 copies of roughly one direction
+        rng = np.random.default_rng(0)
+        C0 = centers[0] + 0.3 * rng.standard_normal((4, 8))
+        C0 /= np.linalg.norm(C0, axis=1, keepdims=True)
+
+        C, objs = kmeans_refine(str(d), C0, n_iters=4)
+        assert all(b >= a - 1e-9 for a, b in zip(objs, objs[1:])), objs
+        np.testing.assert_allclose(np.linalg.norm(C, axis=1), 1.0,
+                                   rtol=1e-9)
+        # every planted center has a refined centroid within cos >= 0.98
+        sims = centers @ C.T
+        assert (sims.max(axis=1) >= 0.98).sum() >= 3
+
+    def test_refined_index_full_probe_stays_exact(self, tmp_path,
+                                                  ray_session):
+        """refine_iters changes the partitioning, never the vectors:
+        the full-probe indexed query must still equal brute force."""
+        import pandas as pd
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import knn_cosine
+        from mistralocr_pdf2md_translator_ray.stages.similarity import (
+            build_ivf_index,
+            knn_cosine_ivf_indexed,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        idx = str(tmp_path / "ivf_refined")
+        C = build_ivf_index(sf, idx, n_centroids=4, seed=5, refine_iters=2)
+        assert C.shape[0] == 4
+        qt = pq.read_table(f"{sf}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "==", 0)])
+        qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+        brute = knn_cosine(sf).to_pandas().reset_index(drop=True)
+        full = knn_cosine_ivf_indexed(
+            idx, qv, nprobe=4, exclude_vec_id=0).to_pandas().reset_index(
+                drop=True)
+        pd.testing.assert_frame_equal(brute, full, check_exact=True)
+
+
 class TestCentroidSampling:
     def test_deterministic_over_multi_row_group_file(self, tmp_path, ray_session):
         """Centroid training reads seeded row groups, not the corpus:
