@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": lib.embedding_norms,
         "stratified_sample": lib.stratified_sample,
         "text_quality": _text_quality_query,
+        "approx_top_users": lib.approx_top_users,
         "dedup_minhash": dd.dedup_minhash,
         "dedup_ngram": dd.dedup_ngram,
         "dedup_simhash": dd.dedup_simhash,

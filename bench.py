@@ -224,6 +224,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("user_event_paths", lambda: lib.user_event_paths(SF_DIR))
     timed("qty_discount_corr", lambda: lib.qty_discount_corr(SF_DIR))
     timed("approx_distinct_users", lambda: lib.approx_distinct_users(SF_DIR))
+    timed("approx_top_users", lambda: lib.approx_top_users(SF_DIR))
     timed("approx_value_quantiles", lambda: lib.approx_value_quantiles(SF_DIR))
     timed("median_value_by_type", lambda: lib.median_value_by_type(SF_DIR))
     timed("median_histogram_path",

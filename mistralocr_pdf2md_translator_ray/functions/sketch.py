@@ -205,3 +205,51 @@ def tdigest_quantile(digest: tuple[np.ndarray, np.ndarray], q: float) -> float:
     i = int(np.searchsorted(cum, target) - 1)
     frac = (target - cum[i]) / (cum[i + 1] - cum[i])
     return float(means[i] + frac * (means[i + 1] - means[i]))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy hitters (Agarwal et al., "Mergeable
+# Summaries"): a bounded summary of m (key, count) pairs whose
+# estimates UNDERCOUNT by at most the summary's accumulated error
+# err_total, with err_total <= n/(m+1). Merging = sum shared keys,
+# re-truncate to m by subtracting the (m+1)-th largest count. The
+# shuffle moves m-sized summaries, never the key grid — the
+# approximate rung of the heavy-hitter family (exact rung:
+# top_users_by_events' per-bucket pushdown).
+# ---------------------------------------------------------------------------
+
+MG_M = 256
+
+
+def mg_build(keys: np.ndarray, counts: np.ndarray,
+             m: int = MG_M) -> tuple[np.ndarray, np.ndarray, int]:
+    """Exact per-batch (key, count) pairs -> MG summary
+    (keys, counts, err). Keys must be int64; counts positive int64.
+    If <= m distinct keys the summary is exact (err 0)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(keys) <= m:
+        return keys, counts, 0
+    order = np.argsort(-counts, kind="mergesort")
+    dec = int(counts[order[m]])  # the (m+1)-th largest count
+    keep = order[:m]
+    new_counts = counts[keep] - dec
+    mask = new_counts > 0
+    return keys[keep][mask], new_counts[mask], dec
+
+
+def mg_merge(a: tuple[np.ndarray, np.ndarray, int],
+             b: tuple[np.ndarray, np.ndarray, int],
+             m: int = MG_M) -> tuple[np.ndarray, np.ndarray, int]:
+    """Merge two MG summaries: sum counts of shared keys, then
+    re-truncate to m. err adds (each decrement is a further global
+    undercount)."""
+    ak, ac, ae = a
+    bk, bc, be = b
+    keys = np.concatenate([ak, bk])
+    counts = np.concatenate([ac, bc])
+    uk, inv = np.unique(keys, return_inverse=True)
+    summed = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    k2, c2, dec = mg_build(uk, summed, m)
+    return k2, c2, ae + be + dec

@@ -2199,6 +2199,71 @@ def approx_distinct_users(sf_dir: str, fan_in: int = 16) -> "rd.Dataset":
     return rd.from_items([{"approx_distinct_users": estimate}])
 
 
+def approx_top_users(sf_dir: str, k: int = 10, m: int = 256,
+                     fan_in: int = 8) -> "rd.Dataset":
+    """Misra-Gries approximate heavy hitters over user_id: each batch
+    reduces to an m-entry mergeable summary (exact per-batch counts ->
+    mg_build), summaries merge in a two-level tree, and only ``fan_in``
+    m-sized summaries reach the driver — the key grid itself never
+    shuffles, unlike the exact top_users_by_events pushdown. Estimates
+    undercount by at most the accumulated err (<= n/(m+1), asserted in
+    pytest); any key with true count above that bound is guaranteed
+    present. Approximate -> rows-only driver check."""
+    from ..functions.sketch import mg_build, mg_merge
+
+    ds = _pq(sf_dir, "events", ["user_id"])
+
+    def _pack(s) -> pa.Table:
+        ks, cs, err = s
+        return pa.table({
+            "keys": pa.array([ks.astype(np.int64).tobytes()], pa.binary()),
+            "counts": pa.array([cs.astype(np.int64).tobytes()], pa.binary()),
+            "err": pa.array([int(err)], pa.int64()),
+        })
+
+    def _unpack(row) -> tuple:
+        return (np.frombuffer(row["keys"], np.int64),
+                np.frombuffer(row["counts"], np.int64), int(row["err"]))
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["user_id"])
+        return _pack(mg_build(vc.field("values").to_numpy(),
+                              vc.field("counts").to_numpy(), m))
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for _, row in df.iterrows():
+            s = _unpack(row)
+            acc = s if acc is None else mg_merge(acc, s, m)
+        if acc is None:
+            return _pack((np.array([], np.int64),
+                          np.array([], np.int64), 0)).to_pandas()
+        return _pack(acc).to_pandas()
+
+    tree = (
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=65536)
+        .repartition(fan_in)
+        .map_batches(merge_block, batch_format="pandas", batch_size=None)
+    )
+    acc = None
+    for row in tree.take_all():  # <= fan_in m-sized summaries
+        s = _unpack(row)
+        acc = s if acc is None else mg_merge(acc, s, m)
+    if acc is None or len(acc[0]) == 0:
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "est_count": pa.array([], pa.int64()),
+            "max_err": pa.array([], pa.int64()),
+        }))
+    ks, cs, err = acc
+    order = np.lexsort((ks, -cs))[:k]
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(ks[order], pa.int64()),
+        "est_count": pa.array(cs[order], pa.int64()),
+        "max_err": pa.array(np.full(len(order), err, np.int64)),
+    }))
+
+
 # ---------------------------------------------------------------------------
 # Documents: token counts, exact dedup (§2.7, text-analysis suite)
 # ---------------------------------------------------------------------------

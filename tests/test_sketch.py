@@ -172,3 +172,86 @@ class TestApproxValueQuantiles:
                 f"WHERE event_type = '{et}'"
             ).fetchone()[0]
             assert abs(rank - 0.5) < 0.02, (et, est, rank)
+
+
+class TestMisraGries:
+    def _true_counts(self, vals):
+        uk, cnt = np.unique(vals, return_counts=True)
+        return dict(zip(uk.tolist(), cnt.tolist()))
+
+    def test_exact_when_under_capacity(self):
+        from mistralocr_pdf2md_translator_ray.functions.sketch import mg_build
+
+        keys = np.arange(100, dtype=np.int64)
+        counts = np.arange(1, 101, dtype=np.int64)
+        k, c, err = mg_build(keys, counts, m=256)
+        assert err == 0
+        assert dict(zip(k.tolist(), c.tolist())) == \
+               dict(zip(keys.tolist(), counts.tolist()))
+
+    def test_merged_bound_and_guaranteed_recall(self):
+        """Batched build + arbitrary merge tree: every estimate
+        undercounts by at most the accumulated err, err <= n/(m+1),
+        and every key with true count > err is present — the Mergeable
+        Summaries guarantee."""
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            mg_build,
+            mg_merge,
+        )
+
+        rng = np.random.default_rng(11)
+        m = 64
+        # heavy keys + a long uniform tail
+        heavy = np.repeat(np.arange(5, dtype=np.int64), 4000)
+        tail = rng.integers(1000, 200000, size=60_000).astype(np.int64)
+        vals = np.concatenate([heavy, tail])
+        rng.shuffle(vals)
+        n = len(vals)
+        true = self._true_counts(vals)
+
+        summaries = []
+        for chunk in np.array_split(vals, 13):
+            uk, cnt = np.unique(chunk, return_counts=True)
+            summaries.append(mg_build(uk, cnt.astype(np.int64), m))
+        # lopsided merge order (fold) then a balanced pair merge
+        acc = summaries[0]
+        for s in summaries[1:7]:
+            acc = mg_merge(acc, s, m)
+        acc2 = summaries[7]
+        for s in summaries[8:]:
+            acc2 = mg_merge(acc2, s, m)
+        ks, cs, err = mg_merge(acc, acc2, m)
+
+        assert err <= n // (m + 1) + 1
+        est = dict(zip(ks.tolist(), cs.tolist()))
+        for k, e in est.items():
+            assert e <= true[k] <= e + err, (k, e, true[k], err)
+        for k, t in true.items():
+            if t > err:
+                assert k in est, (k, t, err)
+
+    def test_query_finds_planted_heavy_users(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            approx_top_users,
+        )
+
+        rng = np.random.default_rng(3)
+        heavy = np.repeat(np.array([7, 13, 42], dtype=np.int64), 5000)
+        tail = rng.integers(100, 50_000, size=40_000).astype(np.int64)
+        users = np.concatenate([heavy, tail])
+        rng.shuffle(users)
+        d = tmp_path / "mg"
+        d.mkdir()
+        pq.write_table(pa.table({"user_id": pa.array(users, pa.int64())}),
+                       str(d / "events.parquet"), row_group_size=8192)
+
+        df = approx_top_users(str(d), k=5, m=256).to_pandas()
+        top3 = set(df["user_id"].iloc[:3])
+        assert top3 == {7, 13, 42}
+        err = int(df["max_err"].iloc[0])
+        assert err <= len(users) // 257 + 1
+        for _, row in df.iloc[:3].iterrows():
+            assert row["est_count"] <= 5000 <= row["est_count"] + err
