@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lib.stratified_sample,
         "text_quality": _text_quality_query,
         "approx_top_users": lib.approx_top_users,
+        "chunk_documents": lib.chunk_documents,
+        "pack_documents": lib.pack_documents,
         "dedup_minhash": dd.dedup_minhash,
         "dedup_ngram": dd.dedup_ngram,
         "dedup_simhash": dd.dedup_simhash,

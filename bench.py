@@ -225,6 +225,8 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("qty_discount_corr", lambda: lib.qty_discount_corr(SF_DIR))
     timed("approx_distinct_users", lambda: lib.approx_distinct_users(SF_DIR))
     timed("approx_top_users", lambda: lib.approx_top_users(SF_DIR))
+    timed("chunk_documents", lambda: lib.chunk_documents(SF_DIR))
+    timed("pack_documents", lambda: lib.pack_documents(SF_DIR))
     timed("approx_value_quantiles", lambda: lib.approx_value_quantiles(SF_DIR))
     timed("median_value_by_type", lambda: lib.median_value_by_type(SF_DIR))
     timed("median_histogram_path",

@@ -2264,6 +2264,79 @@ def approx_top_users(sf_dir: str, k: int = 10, m: int = 256,
     }))
 
 
+def chunk_documents(sf_dir: str, max_tokens: int = 64,
+                    overlap: int = 8) -> "rd.Dataset":
+    """Fixed-token-window document chunking (LLM-pretraining prep):
+    each document fans out to sliding whitespace-token windows with
+    exactly ``overlap`` tokens shared between consecutive chunks. Pure
+    row fan-out inside map_batches — embarrassingly parallel, no
+    shuffle, streams at any corpus size. Chunk text re-joins tokens
+    with single spaces (training normalization). Non-SQL -> rows-only
+    driver check; the window/coverage/overlap invariants and the
+    kernel-vs-reference equality are pytest-pinned."""
+    from ..functions.chunking import chunk_windows
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, texts, ntoks = [], [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            toks = text.split()
+            for i, (s, e) in enumerate(
+                    chunk_windows(len(toks), max_tokens, overlap)):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                texts.append(" ".join(toks[s:e]))
+                ntoks.append(e - s)
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "chunk_text": pd.Series(texts, dtype="object"),
+            "n_tokens": pd.Series(ntoks, dtype="int64"),
+        })
+
+    return ds.map_batches(fan_out, batch_format="pandas", batch_size=4096)
+
+
+def pack_documents(sf_dir: str, seq_tokens: int = 512,
+                   num_buckets: int = 32) -> "rd.Dataset":
+    """Greedy sequence packing (the other half of pretraining prep):
+    assign whole documents to fixed-token-budget training sequences.
+    Packing is inherently order-dependent, so it runs PER BUCKET
+    (doc_id hash) in deterministic doc_id order — sequence ids are
+    ``(bucket, local_seq)`` and reproducible across runs/cluster
+    shapes; only (doc_id, n_tokens) pairs move through the shuffle,
+    never text. Oversized docs get singleton sequences (chunk first via
+    chunk_documents if splitting is wanted). Non-SQL -> rows-only;
+    exactly-once / budget / determinism invariants pytest-pinned."""
+    from ..functions.chunking import pack_greedy
+    from ..functions.textstats import token_count
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].map(token_count).astype("int64")
+        out = pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n})
+        out["b"] = bucket_ids_np(out["doc_id"].to_numpy(), num_buckets)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        seq = pack_greedy(g["n_tokens"].to_numpy(), seq_tokens)
+        b = int(g["b"].iloc[0])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "seq_id": (np.int64(b) * np.int64(1 << 32) + seq),
+            "n_tokens": g["n_tokens"].astype("int64"),
+        })
+
+    return (
+        ds.map_batches(counts, batch_format="pandas", batch_size=65536)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Documents: token counts, exact dedup (§2.7, text-analysis suite)
 # ---------------------------------------------------------------------------

@@ -293,6 +293,95 @@ class TestShippingPriorityTiebreak:
                                       check_exact=True)
 
 
+class TestChunkPack:
+    """Training-sequence prep: sliding-window chunking + greedy packing
+    (functions/chunking.py kernels; the Ray queries are rows-only)."""
+
+    def test_window_invariants(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mistralocr_pdf2md_translator_ray.functions.chunking import chunk_windows
+
+        @settings(max_examples=200, deadline=None)
+        @given(n=st.integers(0, 5000), mt=st.integers(1, 200),
+               data=st.data())
+        def prop(n, mt, data):
+            ov = data.draw(st.integers(0, mt - 1))
+            wins = chunk_windows(n, mt, ov)
+            if n == 0:
+                assert wins == []
+                return
+            assert wins[0][0] == 0 and wins[-1][1] == n
+            for (s1, e1), (s2, e2) in zip(wins, wins[1:]):
+                assert e1 - s1 == mt          # only the last may be short
+                assert e1 - s2 == ov          # exact overlap
+                assert s2 > s1
+            for s, e in wins:
+                assert 0 < e - s <= mt
+
+        prop()
+
+    def test_chunk_query_matches_reference(self, ray_session):
+        """The Ray fan-out must byte-equal a straightforward
+        per-document reference over the real corpus slice."""
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.functions.chunking import chunk_doc
+        from mistralocr_pdf2md_translator_ray.pipelines.library import chunk_documents
+
+        got = (chunk_documents(SF_DIR, max_tokens=32, overlap=4)
+               .to_pandas().sort_values(["doc_id", "chunk_idx"])
+               .reset_index(drop=True))
+        t = pq2.read_table(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+        rows = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            for i, c in enumerate(chunk_doc(text, 32, 4)):
+                rows.append((doc_id, i, c, len(c.split())))
+        exp = pd.DataFrame(rows, columns=["doc_id", "chunk_idx",
+                                          "chunk_text", "n_tokens"])
+        exp = exp.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert (got["n_tokens"] <= 32).all()
+
+    def test_pack_invariants_and_determinism(self, ray_session):
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import pack_documents
+
+        budget = 96
+        got = (pack_documents(SF_DIR, seq_tokens=budget)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        n_docs = pq2.ParquetFile(
+            f"{SF_DIR}/documents.parquet").metadata.num_rows
+        # every document exactly once
+        assert len(got) == n_docs
+        assert got["doc_id"].is_unique
+        # budget respected unless a sequence is a single oversized doc
+        fills = got.groupby("seq_id").agg(total=("n_tokens", "sum"),
+                                          n=("doc_id", "size"))
+        bad = fills[(fills["total"] > budget) & (fills["n"] > 1)]
+        assert bad.empty, bad
+        # deterministic across runs
+        again = (pack_documents(SF_DIR, seq_tokens=budget)
+                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, again)
+
+    def test_pack_greedy_kernel(self):
+        import numpy as np
+
+        from mistralocr_pdf2md_translator_ray.functions.chunking import pack_greedy
+
+        seq = pack_greedy(np.array([50, 50, 50, 200, 10, 10]), 100)
+        assert seq.tolist() == [0, 0, 1, 2, 3, 3]
+        # oversized doc gets its own sequence, then packing resumes
+        seq = pack_greedy(np.array([300, 10]), 100)
+        assert seq.tolist() == [0, 1]
+        assert pack_greedy(np.array([], dtype=np.int64), 100).tolist() == []
+
+
 class TestJoinSkew:
     def test_revenue_by_nation_under_extreme_key_skew(self, tmp_path,
                                                       ray_session):
