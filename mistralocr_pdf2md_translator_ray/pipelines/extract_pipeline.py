@@ -213,10 +213,7 @@ def _broadcast_pipeline(transcripts, plain_pool: dict, ctor_kwargs: dict):
     )
 
 
-from ..stages.assemble import (
-    assemble_conversations,
-    assemble_conversations_adaptive,
-)
+from ..stages.assemble import assemble_conversations
 
 def _pools() -> tuple[dict, dict, dict]:
     """Actor-pool sizing scaled to the cluster.
@@ -496,6 +493,16 @@ def _hot_from_counts(threshold: int, *partials: dict) -> set:
     return {k for k, v in agg.items() if v > threshold}
 
 
+@ray.remote
+def _as_value_set(hot: set):
+    """Chain a pending hot-set ref into the pa.Array value_set the
+    assembly closures consume (keeps the streaming regime's count fully
+    overlapped — nothing on the driver ever blocks on it)."""
+    import pyarrow as _pa
+
+    return _pa.array(sorted(hot), _pa.string())
+
+
 def _hot_conversations_from_files(files: list[str], threshold: int):
     """Hot-conversation count as raw Ray tasks over the transcript
     parquet shards; returns a PENDING ObjectRef of the hot set. Much
@@ -579,19 +586,27 @@ def extract_documents(
     files = _payload_files(transcripts_path) if transcripts_path is not None else []
     if files:
         # Launch the raw-task hot count NOW (parallel single-column
-        # reads, no Ray Data fixed costs); get() it only when the
-        # regime decision needs the set — both regimes share it, the
-        # empty-hot single-phase shortcut stays reachable, and the
-        # barrier regime skips the post-materialize count shuffle the
-        # adaptive path would run.
+        # reads, no Ray Data fixed costs); both regimes share it.
         hot_ref = _hot_conversations_from_files(files, hot_threshold)
         if _parquet_meta_rows(files) <= barrier_max_rows:
             # Footer-gated BARRIER regime (BARRIER_ASSEMBLY_MAX_ROWS):
             # extraction runs with its full actor pool, then the
-            # assembly shuffle gets the whole cluster.
+            # assembly shuffle gets the whole cluster. The count
+            # overlaps the materialize barrier; the get() after it is
+            # ~free, and the empty-hot single-phase shortcut stays
+            # reachable.
             turns = turns.materialize()
+            return assemble_conversations_hotaware(
+                turns, ray.get(hot_ref), salt_span=salt_span,
+                include_original=emit_original)
+        # STREAMING regime: no barrier exists to hide the count behind,
+        # so pass a PENDING ref — the count runs WHILE the pipeline's
+        # read/extract stages stream, and the assembly closures resolve
+        # it at their first batch. (A driver-side get() here would
+        # serialize a full conv_id scan in front of a lazy, not-yet-
+        # started pipeline — at 100 TB a real serial wall.)
         return assemble_conversations_hotaware(
-            turns, ray.get(hot_ref), salt_span=salt_span,
+            turns, _as_value_set.remote(hot_ref), salt_span=salt_span,
             include_original=emit_original)
     hot = _hot_conversations(transcripts, hot_threshold)
     return assemble_conversations_hotaware(turns, hot, salt_span=salt_span,

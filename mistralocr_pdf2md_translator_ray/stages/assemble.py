@@ -185,16 +185,29 @@ def assemble_conversations_hotaware(per_turn_ds, hot: set,
     partials) — O(output bytes), never the per-turn stream (the
     round-3 regression this replaces). With an EMPTY hot set the
     single-phase path runs instead and nothing materializes at all.
+
+    ``hot`` may also be a PENDING ``ray.ObjectRef`` resolving to a
+    ``pa.Array`` of hot conv ids (the streaming regime of
+    ``extract_documents``: the raw-task hot count runs WHILE this
+    pipeline's read/extract stages stream, instead of serializing a
+    full conv_id scan before the pipeline can start). With a ref the
+    full hot-aware DAG is built unconditionally — an empty hot array
+    degenerates to exactly the single-phase result (all salts 0, hot
+    side empty) — and the closures block on the ref only at their
+    first batch.
     """
     import functools
 
     import ray
 
-    if not hot:
-        return assemble_conversations(per_turn_ds, salt_span=None,
-                                      num_buckets=num_buckets,
-                                      include_original=include_original)
-    hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
+    if isinstance(hot, ray.ObjectRef):
+        hot_ref = hot
+    else:
+        if not hot:
+            return assemble_conversations(per_turn_ds, salt_span=None,
+                                          num_buckets=num_buckets,
+                                          include_original=include_original)
+        hot_ref = ray.put(pa.array(sorted(hot), pa.string()))
 
     import pyarrow.compute as pc
 

@@ -255,12 +255,25 @@ def _save_shards(ckpt_dir: str, shards: dict[str, dict]) -> None:
 
 
 def _shard_fingerprint(path: str) -> str:
-    """Cheap content fingerprint: file size + parquet footer row count.
-    No data scan — two metadata reads. (mtime is deliberately excluded:
-    a byte-identical copy/restore must not force recompute.)"""
-    import pyarrow.parquet as pq
+    """Cheap content fingerprint: file size + a digest of the raw
+    parquet FOOTER bytes (row-group stats, page offsets, compressed
+    sizes, row counts — any rewrite that changes data perturbs these
+    even when byte size and row count happen to survive). Metadata-only
+    I/O: one seek + one footer read, no data scan. mtime is
+    deliberately excluded — a byte-identical copy/restore must not
+    force recompute (its footer bytes are identical too)."""
+    import hashlib
 
-    return f"{os.path.getsize(path)}:{pq.ParquetFile(path).metadata.num_rows}"
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(-8, os.SEEK_END)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"not a parquet file: {path}")
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(-(8 + flen), os.SEEK_END)
+        digest = hashlib.blake2b(f.read(flen), digest_size=8).hexdigest()
+    return f"{size}:{digest}"
 
 
 def run_checkpointed_append(
@@ -307,20 +320,23 @@ def run_checkpointed_append(
     data_dir = os.path.join(ckpt_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
 
-    files = sorted(os.path.abspath(p) for p in input_files)
+    files = sorted({os.path.abspath(p) for p in input_files})
     shards = _load_shards(ckpt_dir)
 
     # prune removed inputs (manifest before data, crash-safe order)
     removed = [p for p in shards if p not in files]
     if removed:
-        pruned_sids = [shards[p]["sid"] for p in removed]
         for p in removed:
             del shards[p]
         _save_shards(ckpt_dir, shards)
-        for sid in pruned_sids:
-            d = os.path.join(data_dir, f"shard_id={sid}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+    # reconcile data_dir against the manifest: any shard dir whose sid
+    # the manifest doesn't claim is an orphan — a crash between the
+    # manifest save above and this point (or a partial write from a
+    # crashed run) must self-heal here, never serve phantom rows forever
+    claimed = {v["sid"] for v in shards.values()}
+    for d in os.listdir(data_dir):
+        if d.startswith("shard_id=") and int(d.split("=")[1]) not in claimed:
+            shutil.rmtree(os.path.join(data_dir, d))
 
     fps = {p: _shard_fingerprint(p) for p in files}
     pending = [p for p in files

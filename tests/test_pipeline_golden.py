@@ -477,8 +477,8 @@ class TestHotSplitDocuments:
         for threshold, kw in [
             (40, {}),                                   # barrier, hot
             (10_000, {}),                               # barrier, no hot
-            (40, {"barrier_max_rows": 0}),              # streaming, hot
-            (10_000, {"barrier_max_rows": 0}),          # streaming, no hot
+            (40, {"barrier_max_rows": 0}),              # streaming, hot (pending ref)
+            (10_000, {"barrier_max_rows": 0}),          # streaming, empty ref -> degenerate DAG
             (40, {"emit_original": True}),
             (40, {"emit_original": True, "barrier_max_rows": 0}),
         ]:

@@ -335,6 +335,76 @@ class TestAppendCheckpoint:
         assert len(touched) == 1
         assert len(out2) == 55  # old f2 output replaced, not appended
 
+    def test_orphan_partition_self_heals(self, tmp_path, ray_session):
+        """A crash between the manifest save and the data prune leaves
+        an unclaimed shard dir — the next run must reconcile data
+        against the manifest and never serve phantom rows."""
+        from mistralocr_pdf2md_translator_ray.state import run_checkpointed_append
+
+        f1 = str(tmp_path / "s1.parquet")
+        f2 = str(tmp_path / "s2.parquet")
+        self._write_shard(f1, 0, 30)
+        self._write_shard(f2, 30, 50)
+        ckpt = str(tmp_path / "ckpt")
+        run_checkpointed_append(
+            [f1, f2], self._transform(str(tmp_path / "m1")), ckpt)
+
+        # simulate the crash window: f1 dropped from the manifest, its
+        # data directory left behind
+        shards_path = os.path.join(ckpt, "_shards.json")
+        with open(shards_path) as fh:
+            shards = json.load(fh)
+        sid1 = shards.pop(os.path.abspath(f1))["sid"]
+        with open(shards_path, "w") as fh:
+            json.dump(shards, fh)
+        orphan = os.path.join(ckpt, "data", f"shard_id={sid1}")
+        assert os.path.isdir(orphan)
+
+        out = self._read(run_checkpointed_append(
+            [f2], self._transform(str(tmp_path / "m2")), ckpt))
+        assert not os.path.isdir(orphan)   # reconciled away
+        assert len(out) == 20              # no phantom f1 rows
+
+    def test_duplicate_input_paths_counted_once(self, tmp_path,
+                                                ray_session):
+        from mistralocr_pdf2md_translator_ray.state import run_checkpointed_append
+
+        f1 = str(tmp_path / "s1.parquet")
+        self._write_shard(f1, 0, 30)
+        ckpt = str(tmp_path / "ckpt")
+        out = self._read(run_checkpointed_append(
+            [f1, f1, os.path.join(str(tmp_path), ".", "s1.parquet")],
+            self._transform(str(tmp_path / "m1")), ckpt))
+        assert len(out) == 30  # aliased duplicates read once
+
+    def test_fingerprint_detects_same_size_same_rows_edit(self, tmp_path):
+        """A value edit that preserves row count must change the
+        fingerprint (footer stats digest), while a byte-identical copy
+        must not."""
+        import shutil as sh
+
+        from mistralocr_pdf2md_translator_ray.state.checkpoint import (
+            _shard_fingerprint,
+        )
+
+        f1 = str(tmp_path / "a.parquet")
+        self._write_shard(f1, 0, 30)
+        fp1 = _shard_fingerprint(f1)
+        # byte-identical copy (different mtime): same fingerprint
+        f2 = str(tmp_path / "b.parquet")
+        sh.copyfile(f1, f2)
+        os.utime(f2, (0, 0))
+        assert _shard_fingerprint(f2) == fp1
+        # same row count, one value differs: fingerprint must change
+        import pyarrow.parquet as pq
+        t = pq.read_table(f1)
+        texts = t["text"].to_pylist()
+        texts[0] = "body X"  # same length as "body 0"
+        t2 = t.set_column(t.schema.get_field_index("text"), "text",
+                          pa.array(texts))
+        pq.write_table(t2, f1)
+        assert _shard_fingerprint(f1) != fp1
+
     def test_removed_shard_pruned(self, tmp_path, ray_session):
         from mistralocr_pdf2md_translator_ray.state import run_checkpointed_append
 
