@@ -379,7 +379,9 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 
 def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                       cutoff: str = "1998-06-01", k: int = 10,
-                      num_buckets: int = 32) -> "rd.Dataset":
+                      num_buckets: int = 32,
+                      broadcast_customer_max_rows: int = 5_000_000
+                      ) -> "rd.Dataset":
     """TPC-H-Q3-shaped composed query: segment-filtered customers |><|
     date-filtered orders |><| shipdate-filtered lineitem, grouped by
     order, top-k by revenue. Scale shape:
@@ -388,9 +390,14 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
       shuffles only move qualifying rows;
     - lineitem pre-aggregates to one (orderkey, rev) partial per
       orderkey per batch BEFORE the join shuffle;
-    - the segment semi-join moves customer KEYS only (customer is
-      fact-scaled at 100 TB — never broadcast here), co-grouped with
-      the filtered orders in one bucketed shuffle;
+    - the segment semi-join is ADAPTIVE on the customer parquet footer
+      row count (same gate as revenue_by_nation): below the gate the
+      qualifying custkeys broadcast once (predicate-pushdown single-
+      column read, sorted-array searchsorted per batch — the whole
+      first shuffle disappears); past it customer KEYS co-group with
+      the filtered orders in one bucketed shuffle (customer is
+      fact-scaled at 100 TB — never broadcast there). Both paths
+      equality-tested;
     - the second co-group joins lineitem partials to qualified orders
       AND prunes each bucket to its local top-k (a bucket holds every
       partial for its orderkeys, so the global top-k is a subset of the
@@ -401,15 +408,6 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     from ..stages.joins import cogroup
 
     cutoff64 = np.datetime64(cutoff, "us")
-
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    def cust_keys(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["c_mktsegment"], segment))
-        return pa.table({"o_custkey": t["c_custkey"].cast(pa.int64())})
-
-    keys = cust.map_batches(cust_keys, batch_format="pyarrow",
-                            batch_size=65536)
 
     orders = _pq(sf_dir, "orders",
                  ["o_orderkey", "o_custkey", "o_orderdate",
@@ -422,26 +420,64 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     orders_f = orders.map_batches(orders_filter, batch_format="pyarrow",
                                   batch_size=65536)
 
-    def semi_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        m = ldf[ldf["o_custkey"].isin(set(rdf["o_custkey"]))]
-        return pd.DataFrame({
-            "l_orderkey": m["o_orderkey"].astype("int64"),
-            "o_orderdate": m["o_orderdate"],
-            "o_orderpriority": m["o_orderpriority"].astype("object"),
-        })
+    import pyarrow.parquet as _pq_meta
 
-    orders_q = cogroup(
-        orders_f,
-        keys,
-        on=["o_custkey"],
-        merge_fn=semi_merge,
-        left_schema=pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64()),
-                               ("o_orderdate", pa.timestamp("us")),
-                               ("o_orderpriority", pa.string())]),
-        right_schema=pa.schema([("o_custkey", pa.int64())]),
-        num_buckets=num_buckets,
-    )
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    if (_pq_meta.ParquetFile(cust_path).metadata.num_rows
+            <= broadcast_customer_max_rows):
+        ct = _pq_meta.read_table(
+            cust_path, columns=["c_custkey"],
+            filters=[("c_mktsegment", "==", segment)])
+        keys_ref = ray.put(np.sort(ct["c_custkey"].to_numpy().astype("int64")))
+
+        def bc_semi(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+            if len(keys):
+                pos = np.searchsorted(keys, ck)
+                hit = ((pos < len(keys))
+                       & (keys[np.minimum(pos, len(keys) - 1)] == ck))
+            else:
+                hit = np.zeros(len(ck), bool)
+            t = t.filter(pa.array(hit))
+            return pa.table({
+                "l_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+            })
+
+        orders_q = orders_f.map_batches(bc_semi, batch_format="pyarrow",
+                                        batch_size=65536)
+    else:
+        cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+        def cust_keys(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["c_mktsegment"], segment))
+            return pa.table({"o_custkey": t["c_custkey"].cast(pa.int64())})
+
+        keys = cust.map_batches(cust_keys, batch_format="pyarrow",
+                                batch_size=65536)
+
+        def semi_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            m = ldf[ldf["o_custkey"].isin(set(rdf["o_custkey"]))]
+            return pd.DataFrame({
+                "l_orderkey": m["o_orderkey"].astype("int64"),
+                "o_orderdate": m["o_orderdate"],
+                "o_orderpriority": m["o_orderpriority"].astype("object"),
+            })
+
+        orders_q = cogroup(
+            orders_f,
+            keys,
+            on=["o_custkey"],
+            merge_fn=semi_merge,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64()),
+                                   ("o_orderdate", pa.timestamp("us")),
+                                   ("o_orderpriority", pa.string())]),
+            right_schema=pa.schema([("o_custkey", pa.int64())]),
+            num_buckets=num_buckets,
+        )
 
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])

@@ -237,6 +237,24 @@ class TestQuantileContNarrowing:
                                       check_exact=True)
 
 
+class TestShippingPriorityPaths:
+    def test_cogroup_path_matches_broadcast_path(self, ddb, ray_session):
+        """Force the distributed customer-key co-group (gate 0) and
+        compare with the broadcast semi-join path and the SQL oracle."""
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            SHIPPING_PRIORITY_SQL,
+            shipping_priority,
+        )
+
+        bc = _normalize(_to_pandas(shipping_priority(SF_DIR)))
+        cg = _normalize(_to_pandas(
+            shipping_priority(SF_DIR, broadcast_customer_max_rows=0)))
+        pd.testing.assert_frame_equal(bc, cg, check_dtype=False)
+        exp = _normalize(ddb.sql(SHIPPING_PRIORITY_SQL).df())
+        pd.testing.assert_frame_equal(bc, exp, check_dtype=False,
+                                      check_exact=True)
+
+
 class TestShippingPriorityTiebreak:
     def test_planted_revenue_tie(self, tmp_path, ray_session):
         """Two orders with IDENTICAL revenue must order by
