@@ -135,6 +135,22 @@ def _frame_sample_query(sf_dir: str) -> Any:
     return sample_frames(rd.from_arrow(p), every=2)
 
 
+def _redact_pii_query(sf_dir: str) -> Any:
+    """PII scrubbing pass (emails/IPv4/phones) over documents —
+    rows-only; Ray-vs-reference equality in tests/test_redact_repetition.py."""
+    from mistralocr_pdf2md_translator_ray.stages.textstats import redact_documents
+
+    return redact_documents(sf_dir)
+
+
+def _repetition_stats_query(sf_dir: str) -> Any:
+    """Gopher-style duplicate/top n-gram character fractions — rows-only;
+    kernel parity vs an independent reference in pytest."""
+    from mistralocr_pdf2md_translator_ray.stages.textstats import repetition_stats
+
+    return repetition_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from mistralocr_pdf2md_translator_ray.pipelines import library as lib
     from mistralocr_pdf2md_translator_ray.stages import dedup as dd
@@ -205,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_users": lib.approx_top_users,
         "chunk_documents": lib.chunk_documents,
         "pack_documents": lib.pack_documents,
+        "redact_pii": _redact_pii_query,
+        "repetition_stats": _repetition_stats_query,
         "dedup_minhash": dd.dedup_minhash,
         "dedup_ngram": dd.dedup_ngram,
         "dedup_simhash": dd.dedup_simhash,

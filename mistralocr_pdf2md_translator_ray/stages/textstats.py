@@ -48,6 +48,93 @@ class TextStatsActor:
         })
 
 
+class RedactActor:
+    """PII masking over a documents table (compiled regexes held per
+    actor — ST1-ST3 shape, like the reference's per-process clients)."""
+
+    def __init__(self) -> None:
+        from ..functions.redact import redact_pii
+
+        self._redact = redact_pii
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        reds, n_em, n_ip, n_ph = [], [], [], []
+        for t in texts:
+            r, e, i, p = self._redact(t)
+            reds.append(r)
+            n_em.append(e)
+            n_ip.append(i)
+            n_ph.append(p)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_redacted": pa.array(reds, pa.string()),
+            "n_emails": pa.array(n_em, pa.int64()),
+            "n_ips": pa.array(n_ip, pa.int64()),
+            "n_phones": pa.array(n_ph, pa.int64()),
+        })
+
+
+class RepetitionActor:
+    """Gopher-style duplicate/top n-gram character fractions."""
+
+    def __init__(self) -> None:
+        from ..functions.redact import repetition_metrics
+
+        self._metrics = repetition_metrics
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        d2, d3, t2 = [], [], []
+        for t in texts:
+            a, b, c = self._metrics(t)
+            d2.append(a)
+            d3.append(b)
+            t2.append(c)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dup_2gram_frac": pa.array(d2, pa.float64()),
+            "dup_3gram_frac": pa.array(d3, pa.float64()),
+            "top_2gram_frac": pa.array(t2, pa.float64()),
+        })
+
+
+def redact_documents(sf_dir: str) -> "rd.Dataset":
+    """documents -> (doc_id, text_redacted, n_emails, n_ips, n_phones).
+
+    PII scrubbing pass (emails / IPv4 / phones) — regex masking with
+    fixed precedence, per-span exactly-once counting. Non-SQL
+    (DuckDB's regex dialect differs on lookarounds) -> rows-only driver
+    check; the kernel parity + Ray-vs-reference equality live in
+    ``tests/test_redact_repetition.py``."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        RedactActor,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def repetition_stats(sf_dir: str) -> "rd.Dataset":
+    """documents -> duplicate/top n-gram character fractions (the
+    Gopher repetition filters). Rows-only; kernel reference parity in
+    ``tests/test_redact_repetition.py``."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        RepetitionActor,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def text_quality(sf_dir: str) -> "rd.Dataset":
     """documents -> (doc_id, lang_pred, quality, n_tokens, fingerprint).
 
