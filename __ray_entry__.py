@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_users": lib.approx_top_users,
         "chunk_documents": lib.chunk_documents,
         "pack_documents": lib.pack_documents,
+        "shuffle_documents": lib.shuffle_documents,
         "redact_pii": _redact_pii_query,
         "repetition_stats": _repetition_stats_query,
         "dedup_minhash": dd.dedup_minhash,

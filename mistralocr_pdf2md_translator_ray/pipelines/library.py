@@ -2373,6 +2373,50 @@ def pack_documents(sf_dir: str, seq_tokens: int = 512,
     )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over uint64 — a stable, dependency-free
+    integer mixer (Steele et al., public domain constant schedule).
+    Unlike the polars seeded hash, this is bit-stable across library
+    versions, which a PERSISTED shuffle order needs."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def shuffle_documents(sf_dir: str, seed: int = 0) -> "rd.Dataset":
+    """Deterministic seeded global shuffle (training-data prep).
+
+    Pretraining wants the corpus in a reproducible pseudo-random order:
+    ``shuffle_key = splitmix64(doc_id XOR splitmix64(seed))`` followed
+    by a distributed range-partitioned sort on ``(shuffle_key,
+    doc_id)``. Versus ``Dataset.random_shuffle`` this order is a pure
+    function of (doc_id, seed): re-runs, resumes, and different cluster
+    shapes all produce the SAME permutation, and the sort is Ray's
+    sample-based range shuffle — one all-to-all, no driver state.
+    Non-SQL (hash dialect) -> rows-only; permutation/determinism/
+    dispersion invariants pytest-pinned."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    seed_mix = _splitmix64(np.array([seed], dtype=np.uint64))[0]
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        key = _splitmix64(ids ^ seed_mix)
+        # int64 view keeps Arrow/pandas happy; order is irrelevant to
+        # shuffle quality (any fixed bijection of the key works)
+        return t.append_column(
+            "shuffle_key", pa.array(key.view(np.int64), pa.int64()))
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=65536)
+        .sort(["shuffle_key", "doc_id"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Documents: token counts, exact dedup (§2.7, text-analysis suite)
 # ---------------------------------------------------------------------------

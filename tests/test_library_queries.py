@@ -4,6 +4,7 @@ driver's sf0.01 check — same comparison semantics: sorted columns,
 order-insensitive rows)."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -398,6 +399,55 @@ class TestChunkPack:
         seq = pack_greedy(np.array([300, 10]), 100)
         assert seq.tolist() == [0, 1]
         assert pack_greedy(np.array([], dtype=np.int64), 100).tolist() == []
+
+
+class TestShuffleDocuments:
+    """Deterministic seeded global shuffle: permutation, reproducibility,
+    seed sensitivity, dispersion, and key-mixer injectivity."""
+
+    def test_permutation_and_determinism(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            shuffle_documents,
+        )
+
+        got = shuffle_documents(SF_DIR, seed=7).to_pandas()
+        src = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+        # exact permutation: same multiset of (doc_id, text)
+        assert sorted(got["doc_id"]) == sorted(src["doc_id"])
+        merged = got.merge(src, on="doc_id", suffixes=("", "_src"))
+        assert (merged["text"] == merged["text_src"]).all()
+        # output arrives sorted by the key (range shuffle contract)
+        keys = got["shuffle_key"].to_numpy()
+        assert (keys[:-1] <= keys[1:]).all()
+        # bit-stable across runs: identical order
+        again = shuffle_documents(SF_DIR, seed=7).to_pandas()
+        pd.testing.assert_frame_equal(got, again)
+
+    def test_seed_changes_order_and_disperses(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            shuffle_documents,
+        )
+
+        a = shuffle_documents(SF_DIR, seed=0).to_pandas()["doc_id"].to_numpy()
+        b = shuffle_documents(SF_DIR, seed=1).to_pandas()["doc_id"].to_numpy()
+        assert not (a == b).all()
+        # dispersion: sequential doc_ids must not stay adjacent (a sorted
+        # or near-identity order would leave most successors at +1)
+        adjacent = (np.diff(a) == 1).mean()
+        assert adjacent < 0.05, adjacent
+
+    def test_splitmix64_injective_on_range(self):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            _splitmix64,
+        )
+
+        ids = np.arange(200_000, dtype=np.uint64)
+        keys = _splitmix64(ids)
+        assert len(np.unique(keys)) == len(ids)
+        # and deterministic (pinned constant so upgrades can't drift):
+        assert int(_splitmix64(np.array([42], dtype=np.uint64))[0]) == \
+            int(np.uint64(13679457532755275413))
 
 
 class TestJoinSkew:
