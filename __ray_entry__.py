@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lib.stratified_sample,
         "text_quality": _text_quality_query,
         "approx_top_users": lib.approx_top_users,
+        "approx_user_counts_cms": lib.approx_user_counts_cms,
         "chunk_documents": lib.chunk_documents,
         "pack_documents": lib.pack_documents,
         "shuffle_documents": lib.shuffle_documents,

@@ -253,3 +253,58 @@ def mg_merge(a: tuple[np.ndarray, np.ndarray, int],
     np.add.at(summed, inv, counts)
     k2, c2, dec = mg_build(uk, summed, m)
     return k2, c2, ae + be + dec
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan): mergeable point-frequency
+# estimator. d x w counter grid; each key increments one cell per row
+# (double hashing), a query takes the MIN across rows. Estimates never
+# undercount; overcount <= (e/w)*N with probability 1 - e^-d per key.
+# Complements the family: HLL (distinct), t-digest (quantiles),
+# Misra-Gries (heavy-hitter KEYS), Bloom (membership) — CMS answers
+# "how often did THIS key occur" without ever shuffling the key grid.
+# Merging is elementwise +, so the shuffle moves d*w*8-byte grids only.
+# ---------------------------------------------------------------------------
+
+CMS_W = 2048
+CMS_D = 4
+
+
+def _cms_positions(keys: np.ndarray, w: int, d: int) -> np.ndarray:
+    """(len(keys), d) column indices via double hashing h1 + j*h2."""
+    k = np.asarray(keys, dtype=np.int64)
+    h1 = hash64(k)
+    h2 = hash64(k.astype(np.uint64) ^ np.uint64(0xD6E8_FEB8_6659_FD93)) \
+        | np.uint64(1)
+    j = np.arange(d, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + j[None, :] * h2[:, None])
+                % np.uint64(w)).astype(np.int64)
+
+
+def cms_partial(keys: np.ndarray, counts: np.ndarray | None = None,
+                w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
+    """int64 keys (+ optional positive counts) -> (d, w) int64 grid."""
+    tbl = np.zeros((d, w), dtype=np.int64)
+    if len(keys) == 0:
+        return tbl
+    pos = _cms_positions(keys, w, d)
+    c = (np.ones(len(keys), dtype=np.int64) if counts is None
+         else np.asarray(counts, dtype=np.int64))
+    for j in range(d):
+        np.add.at(tbl[j], pos[:, j], c)
+    return tbl
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(tbl: np.ndarray, keys: np.ndarray,
+              w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
+    """Point-frequency estimates (int64, never below the true count)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    pos = _cms_positions(keys, w, d)
+    ests = tbl[np.arange(d)[None, :], pos]  # (n, d)
+    return ests.min(axis=1)

@@ -2300,6 +2300,84 @@ def approx_top_users(sf_dir: str, k: int = 10, m: int = 256,
     }))
 
 
+def approx_user_counts_cms(sf_dir: str, k: int = 10, m: int = 256,
+                           fan_in: int = 8) -> "rd.Dataset":
+    """Count-Min + Misra-Gries in ONE pass: per batch, the exact
+    (user, count) pairs feed BOTH an m-entry MG summary (candidate
+    heavy-hitter keys, never overcounts) and a d x w CMS grid (point
+    frequencies, never undercounts); both are mergeable, so the
+    two-level tree moves only ~64KiB grids + m-entry summaries and the
+    key grid itself never shuffles. Output: MG's top-k keys with the
+    sandwich ``lower_count <= true <= est_count`` (MG / CMS sides
+    respectively — asserted against exact counts in pytest).
+    Approximate -> rows-only driver check."""
+    from ..functions.sketch import (
+        cms_merge,
+        cms_partial,
+        cms_query,
+        mg_build,
+        mg_merge,
+    )
+
+    ds = _pq(sf_dir, "events", ["user_id"])
+
+    def _pack(s, grid: np.ndarray) -> pa.Table:
+        ks, cs, err = s
+        return pa.table({
+            "keys": pa.array([ks.astype(np.int64).tobytes()], pa.binary()),
+            "counts": pa.array([cs.astype(np.int64).tobytes()], pa.binary()),
+            "err": pa.array([int(err)], pa.int64()),
+            "grid": pa.array([grid.tobytes()], pa.binary()),
+        })
+
+    def _unpack(row) -> tuple:
+        return ((np.frombuffer(row["keys"], np.int64),
+                 np.frombuffer(row["counts"], np.int64), int(row["err"])),
+                np.frombuffer(row["grid"], np.int64).reshape(4, -1).copy())
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["user_id"])
+        ks = vc.field("values").to_numpy()
+        cs = vc.field("counts").to_numpy()
+        return _pack(mg_build(ks, cs, m), cms_partial(ks, cs))
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        acc, grid = None, None
+        for _, row in df.iterrows():
+            s, g = _unpack(row)
+            acc = s if acc is None else mg_merge(acc, s, m)
+            grid = g if grid is None else cms_merge(grid, g)
+        if acc is None:
+            return _pack((np.array([], np.int64), np.array([], np.int64), 0),
+                         np.zeros((4, 2048), np.int64)).to_pandas()
+        return _pack(acc, grid).to_pandas()
+
+    tree = (
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=65536)
+        .repartition(fan_in)
+        .map_batches(merge_block, batch_format="pandas", batch_size=None)
+    )
+    acc, grid = None, None
+    for row in tree.take_all():  # <= fan_in rows (m-entry summary + 64KiB grid)
+        s, g = _unpack(row)
+        acc = s if acc is None else mg_merge(acc, s, m)
+        grid = g if grid is None else cms_merge(grid, g)
+    if acc is None or len(acc[0]) == 0:
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "est_count": pa.array([], pa.int64()),
+            "lower_count": pa.array([], pa.int64()),
+        }))
+    ks, cs, _err = acc
+    order = np.lexsort((ks, -cs))[:k]
+    top = ks[order]
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(top, pa.int64()),
+        "est_count": pa.array(cms_query(grid, top), pa.int64()),
+        "lower_count": pa.array(cs[order], pa.int64()),
+    }))
+
+
 def chunk_documents(sf_dir: str, max_tokens: int = 64,
                     overlap: int = 8) -> "rd.Dataset":
     """Fixed-token-window document chunking (LLM-pretraining prep):
@@ -2373,26 +2451,14 @@ def pack_documents(sf_dir: str, seq_tokens: int = 512,
     )
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer over uint64 — a stable, dependency-free
-    integer mixer (Steele et al., public domain constant schedule).
-    Unlike the polars seeded hash, this is bit-stable across library
-    versions, which a PERSISTED shuffle order needs."""
-    with np.errstate(over="ignore"):
-        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
-    return x
-
-
 def shuffle_documents(sf_dir: str, seed: int = 0) -> "rd.Dataset":
     """Deterministic seeded global shuffle (training-data prep).
 
     Pretraining wants the corpus in a reproducible pseudo-random order:
-    ``shuffle_key = splitmix64(doc_id XOR splitmix64(seed))`` followed
+    ``shuffle_key = hash64(doc_id XOR hash64(seed))`` (the SplitMix64
+    finalizer from functions/sketch.py — bit-stable across library
+    versions, which a PERSISTED shuffle order needs, unlike the polars
+    seeded hash) followed
     by a distributed range-partitioned sort on ``(shuffle_key,
     doc_id)``. Versus ``Dataset.random_shuffle`` this order is a pure
     function of (doc_id, seed): re-runs, resumes, and different cluster
@@ -2400,12 +2466,14 @@ def shuffle_documents(sf_dir: str, seed: int = 0) -> "rd.Dataset":
     sample-based range shuffle — one all-to-all, no driver state.
     Non-SQL (hash dialect) -> rows-only; permutation/determinism/
     dispersion invariants pytest-pinned."""
+    from ..functions.sketch import hash64
+
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    seed_mix = _splitmix64(np.array([seed], dtype=np.uint64))[0]
+    seed_mix = hash64(np.array([seed], dtype=np.uint64))[0]
 
     def add_key(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy().astype(np.uint64)
-        key = _splitmix64(ids ^ seed_mix)
+        key = hash64(ids ^ seed_mix)
         # int64 view keeps Arrow/pandas happy; order is irrelevant to
         # shuffle quality (any fixed bijection of the key works)
         return t.append_column(

@@ -438,15 +438,13 @@ class TestShuffleDocuments:
         assert adjacent < 0.05, adjacent
 
     def test_splitmix64_injective_on_range(self):
-        from mistralocr_pdf2md_translator_ray.pipelines.library import (
-            _splitmix64,
-        )
+        from mistralocr_pdf2md_translator_ray.functions.sketch import hash64
 
         ids = np.arange(200_000, dtype=np.uint64)
-        keys = _splitmix64(ids)
+        keys = hash64(ids)
         assert len(np.unique(keys)) == len(ids)
         # and deterministic (pinned constant so upgrades can't drift):
-        assert int(_splitmix64(np.array([42], dtype=np.uint64))[0]) == \
+        assert int(hash64(np.array([42], dtype=np.uint64))[0]) == \
             int(np.uint64(13679457532755275413))
 
 

@@ -255,3 +255,78 @@ class TestMisraGries:
         assert err <= len(users) // 257 + 1
         for _, row in df.iloc[:3].iterrows():
             assert row["est_count"] <= 5000 <= row["est_count"] + err
+
+
+class TestCountMin:
+    def test_linearity_exact(self):
+        """CMS is a linear sketch: partial(a) + partial(b) must equal
+        partial(concat) CELL-FOR-CELL, which is what makes any merge
+        tree order-independent."""
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            cms_merge,
+            cms_partial,
+        )
+
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 10_000, 5000).astype(np.int64)
+        b = rng.integers(0, 10_000, 7000).astype(np.int64)
+        merged = cms_merge(cms_partial(a), cms_partial(b))
+        assert (merged == cms_partial(np.concatenate([a, b]))).all()
+
+    def test_no_undercount_and_eps_bound(self):
+        """est >= true always; overcount <= (e/w)*N for every probed
+        key (the per-key bound holds w.h.p.; fixed seed keeps the test
+        deterministic — margin not needed at this N/w)."""
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            CMS_W,
+            cms_merge,
+            cms_partial,
+            cms_query,
+        )
+
+        rng = np.random.default_rng(7)
+        vals = rng.zipf(1.3, 120_000).astype(np.int64)
+        tbl = None
+        for chunk in np.array_split(vals, 9):
+            part = cms_partial(chunk)
+            tbl = part if tbl is None else cms_merge(tbl, part)
+        uk, cnt = np.unique(vals, return_counts=True)
+        probe = uk[:3000]
+        est = cms_query(tbl, probe)
+        true = cnt[:3000]
+        assert (est >= true).all()
+        eps_n = np.e / CMS_W * len(vals)
+        assert (est - true).max() <= eps_n, (int((est - true).max()), eps_n)
+
+    def test_weighted_counts_and_empty(self):
+        from mistralocr_pdf2md_translator_ray.functions.sketch import (
+            cms_partial,
+            cms_query,
+        )
+
+        keys = np.array([5, 9], np.int64)
+        tbl = cms_partial(keys, np.array([100, 7], np.int64))
+        est = cms_query(tbl, keys)
+        assert est[0] >= 100 and est[1] >= 7
+        assert cms_partial(np.array([], np.int64)).sum() == 0
+        assert cms_query(tbl, np.array([], np.int64)).tolist() == []
+
+    def test_pipeline_sandwich_vs_exact(self, ray_session):
+        """approx_user_counts_cms: for every returned key,
+        lower_count (MG, never overcounts) <= true <= est_count (CMS,
+        never undercounts); keys are the true heavy hitters up to the
+        MG error bound."""
+        import pandas as pd
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            approx_user_counts_cms,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = approx_user_counts_cms(sf, k=10).to_pandas()
+        ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+        true = ev["user_id"].value_counts()
+        assert len(got) == 10
+        for _, r in got.iterrows():
+            t = int(true.get(r["user_id"], 0))
+            assert r["lower_count"] <= t <= r["est_count"], dict(r)
