@@ -637,3 +637,106 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
         batch_format="pyarrow",
     )
     return _keep_after_pairs(keep_docs, verified)
+
+
+def dedup_spans(sf_dir: str, span_tokens: int = 16,
+                num_buckets: int = 32) -> "rd.Dataset":
+    """Corpus-wide duplicate token-SPAN removal (sub-document dedup —
+    the Lee et al. "Deduplicating Training Data" shape at fixed-window
+    granularity; doc-level exact dedup keeps whole near-copies of
+    boilerplate-bearing documents, this removes the repeated runs
+    inside otherwise-unique documents).
+
+    Semantics (deterministic, pinned by the pytest reference): each
+    document's whitespace tokens are cut into consecutive
+    NON-OVERLAPPING windows of ``span_tokens`` (last window may be
+    short); a window whose exact token content appears anywhere else in
+    the corpus keeps only its globally-first occurrence (min
+    ``(doc_id, span_idx)``) — later occurrences drop, including repeats
+    inside one document. Output text re-joins surviving windows with
+    single spaces (training normalization, same contract as
+    chunk_documents).
+
+    Scale shape: two bucketed all-to-alls, both over the corpus bytes
+    ONCE — (1) spans bucket by 128-bit content hash, each bucket keeps
+    first-per-hash with one vectorized sort+drop_duplicates; (2) kept
+    spans co-group with the (doc_id, n_spans) universe by doc_id for
+    ordered reassembly (the universe side guarantees fully-deduped
+    documents still emit an empty row). No driver state, no per-group
+    Python loops, hot hashes cannot skew (a duplicate hash's rows all
+    carry identical text; first-wins needs only the bucket-local sort).
+    """
+    from .joins import cogroup
+    from ..functions.hashing import bucket_ids
+    from ..functions.textstats import content_hash
+
+    ds = _read_docs(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, idxs, hashes, spans = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = text.split() if text else []
+            for i in range(0, len(toks), span_tokens):
+                s = " ".join(toks[i:i + span_tokens])
+                doc_ids.append(doc_id)
+                idxs.append(i // span_tokens)
+                hashes.append(content_hash(s))
+                spans.append(s)
+        out = pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "span_idx": pa.array(idxs, pa.int64()),
+            "h": pa.array(hashes, pa.string()),
+            "span": pa.array(spans, pa.string()),
+        })
+        return out.append_column("hb", bucket_ids(out["h"], num_buckets))
+
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id", "span_idx"], kind="mergesort")
+        keep = g.drop_duplicates("h", keep="first")
+        return keep[["doc_id", "span_idx", "span"]]
+
+    from .joins import coalesce_blocks
+
+    kept = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=4096)
+        .repartition(coalesce_blocks())
+        .groupby("hb")
+        .map_groups(first_per_hash, batch_format="pandas")
+    )
+
+    def n_spans(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        counts = [-(-len(x.split()) // span_tokens) if x and x.split() else 0
+                  for x in texts]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_spans": pa.array(counts, pa.int64())})
+
+    universe = ds.map_batches(n_spans, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def reassemble(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # rdf: one row per document (universe); ldf: surviving spans
+        ldf = ldf.sort_values(["doc_id", "span_idx"], kind="mergesort")
+        joined = ldf.groupby("doc_id", sort=True)["span"].agg(" ".join)
+        n_kept = ldf.groupby("doc_id", sort=True)["span"].size()
+        out = rdf[["doc_id", "n_spans"]].sort_values("doc_id")
+        out = out.set_index("doc_id")
+        out["text_deduped"] = joined.reindex(out.index, fill_value="")
+        out["n_spans_kept"] = (n_kept.reindex(out.index, fill_value=0)
+                               .astype("int64"))
+        out["n_spans_dropped"] = (out["n_spans"] - out["n_spans_kept"]) \
+            .astype("int64")
+        out = out.reset_index()
+        return out[["doc_id", "text_deduped", "n_spans_kept",
+                    "n_spans_dropped"]]
+
+    return cogroup(
+        kept, universe, ["doc_id"], reassemble,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("span_idx", pa.int64()),
+                               ("span", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_spans", pa.int64())]),
+        num_buckets=num_buckets,
+    )

@@ -620,3 +620,79 @@ class TestAdaptiveBranches:
             warnings.simplefilter("always")
             _removed_by_label_propagation(chain, num_buckets=2, max_iters=1)
         assert any("fixpoint" in str(w.message) for w in caught)
+
+
+class TestDedupSpans:
+    """Sub-document span dedup: Ray pipeline vs a straightforward
+    global-seen-set reference (first occurrence = min (doc_id,
+    span_idx)), planted duplicates, and the empty-document contract."""
+
+    @staticmethod
+    def _reference(docs, span_tokens):
+        seen, out = set(), {}
+        for doc_id, text in sorted(docs):
+            toks = text.split() if text else []
+            kept = []
+            n = -(-len(toks) // span_tokens) if toks else 0
+            for i in range(0, len(toks), span_tokens):
+                s = " ".join(toks[i:i + span_tokens])
+                if s in seen:
+                    continue
+                seen.add(s)
+                kept.append(s)
+            out[doc_id] = (" ".join(kept), len(kept), n - len(kept))
+        return out
+
+    def test_matches_reference_on_sf0001(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_spans
+
+        sf = "/root/testdata/sf0.001"
+        got = dedup_spans(sf, span_tokens=8).to_pandas()
+        src = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"])
+        ref = self._reference(
+            list(zip(src["doc_id"].to_pylist(), src["text"].to_pylist())), 8)
+        assert len(got) == src.num_rows
+        for _, r in got.iterrows():
+            exp = ref[r["doc_id"]]
+            assert (r["text_deduped"], r["n_spans_kept"],
+                    r["n_spans_dropped"]) == exp, r["doc_id"]
+        # the synthetic corpus genuinely contains cross-doc duplicates
+        assert got["n_spans_dropped"].sum() > 0
+
+    def test_planted_duplicates_and_empty_doc(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_spans
+
+        w = 4
+        run = "alpha beta gamma delta"          # exactly one window
+        uniq1 = "one two three four"
+        uniq2 = "five six seven eight"
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [f"{run} {uniq1}",           # first owner of `run`
+                     f"{run} {uniq2} {run}",     # cross-doc + in-doc repeat
+                     run],                        # fully deduplicated
+        })
+        d = tmp_path / "spans"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        got = {r["doc_id"]: r
+               for r in dedup_spans(str(d), span_tokens=w).take_all()}
+        assert got[1]["text_deduped"] == f"{run} {uniq1}"
+        assert got[1]["n_spans_dropped"] == 0
+        # doc 2 loses BOTH copies of the run (cross-doc and its repeat)
+        assert got[2]["text_deduped"] == uniq2
+        assert got[2]["n_spans_dropped"] == 2
+        # doc 3 survives as an (empty) row — documents never vanish
+        assert got[3]["text_deduped"] == "" and got[3]["n_spans_kept"] == 0
+
+    def test_deterministic(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_spans
+
+        sf = "/root/testdata/sf0.001"
+        a = dedup_spans(sf, span_tokens=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = dedup_spans(sf, span_tokens=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
