@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": lib.customers_with_orders,
         "customers_without_orders": lib.customers_without_orders,
         "customer_order_counts": lib.customer_order_counts,
+        "user_order_activity": lib.user_order_activity,
         "order_rank_in_customer": lib.order_rank_in_customer,
         "event_type_pivot": lib.event_type_pivot,
         "revenue_rollup": lib.revenue_rollup,

@@ -251,6 +251,17 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("distinct_users_by_type", lambda: lib.distinct_users_by_type(SF_DIR))
     timed("segment_revenue_bloom", lambda: lib.segment_revenue_bloom(SF_DIR))
     timed("parties_union", lambda: lib.parties_union(SF_DIR))
+    timed("approx_user_counts_cms", lambda: lib.approx_user_counts_cms(SF_DIR))
+    timed("shuffle_documents", lambda: lib.shuffle_documents(SF_DIR))
+
+    from mistralocr_pdf2md_translator_ray.stages.textstats import (
+        redact_documents,
+        repetition_stats,
+    )
+
+    timed("redact_pii", lambda: redact_documents(SF_DIR))
+    timed("repetition_stats", lambda: repetition_stats(SF_DIR))
+    timed("dedup_spans", lambda: dd.dedup_spans(SF_DIR))
     timed("dedup_ngram", lambda: dd.dedup_ngram(SF_DIR))
     timed("dedup_simhash", lambda: dd.dedup_simhash(SF_DIR))
     timed("neardup_embedding", lambda: dd.neardup_embedding(SF_DIR))

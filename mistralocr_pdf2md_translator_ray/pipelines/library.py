@@ -731,6 +731,76 @@ def customer_order_counts(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def user_order_activity(sf_dir: str) -> "rd.Dataset":
+    """FULL OUTER grouped join: per-id event count ⟗ per-customer order
+    count — ids live on either side alone (event-only users, order-only
+    customers) or both, completing the outer-join family (LEFT:
+    customer_order_counts; SEMI/ANTI: customers_with/without_orders).
+    Shape: both fact streams pre-aggregate to per-key partials inside
+    map_batches, the bucketed co-group outer-merges the two partial
+    sets and zero-fills the one-sided keys vectorized — nothing
+    fact-scaled crosses the driver, output is bounded by distinct keys.
+    Rows-only in the driver window (the oracle set is capped at 50);
+    the exact DuckDB FULL OUTER JOIN parity is pinned in
+    ``TestFullOuterJoin``."""
+    from ..stages.joins import cogroup
+
+    events = _pq(sf_dir, "events", ["user_id"])
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+
+    def e_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).size()
+        return pd.DataFrame({"id": out["user_id"].astype("int64"),
+                             "n_events": out["size"].astype("int64")})
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame({"id": out["o_custkey"].astype("int64"),
+                             "n_orders": out["size"].astype("int64")})
+
+    e_agg = events.map_batches(e_partial, batch_format="pandas",
+                               batch_size=65536)
+    o_agg = orders.map_batches(o_partial, batch_format="pandas",
+                               batch_size=65536)
+
+    def outer_merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        le = ldf.groupby("id", as_index=False).agg(
+            n_events=("n_events", "sum"))
+        ro = rdf.groupby("id", as_index=False).agg(
+            n_orders=("n_orders", "sum"))
+        m = le.merge(ro, on="id", how="outer")
+        m = m.fillna({"n_events": 0, "n_orders": 0})
+        return pd.DataFrame({
+            "id": m["id"].astype("int64"),
+            "n_events": m["n_events"].astype("int64"),
+            "n_orders": m["n_orders"].astype("int64"),
+        })
+
+    return cogroup(
+        e_agg,
+        o_agg,
+        on=["id"],
+        merge_fn=outer_merge,
+        left_schema=pa.schema([("id", pa.int64()),
+                               ("n_events", pa.int64())]),
+        right_schema=pa.schema([("id", pa.int64()),
+                                ("n_orders", pa.int64())]),
+    )
+
+
+USER_ORDER_ACTIVITY_SQL = """
+SELECT COALESCE(e.user_id, o.o_custkey) AS id,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id) e
+FULL OUTER JOIN
+     (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey) o
+ON e.user_id = o.o_custkey
+"""
+
+
 def order_rank_in_customer(sf_dir: str, num_buckets: int = 32) -> "rd.Dataset":
     """RANKING window function: each order's dense position within its
     customer by totalprice (deterministic orderkey tiebreak) — the

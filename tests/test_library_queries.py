@@ -401,6 +401,46 @@ class TestChunkPack:
         assert pack_greedy(np.array([], dtype=np.int64), 100).tolist() == []
 
 
+class TestFullOuterJoin:
+    """user_order_activity: exact FULL OUTER JOIN parity vs DuckDB
+    (rows-only in the driver window — the oracle set is capped at 50 —
+    so the SQL check lives here), plus the one-sided-key contract."""
+
+    def test_matches_duckdb_full_outer(self, ddb, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            USER_ORDER_ACTIVITY_SQL,
+            user_order_activity,
+        )
+
+        got = _normalize(_to_pandas(user_order_activity(SF_DIR)))
+        exp = _normalize(ddb.sql(USER_ORDER_ACTIVITY_SQL).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+        # the data genuinely exercises the outer fill on one side
+        assert (got["n_events"] == 0).any(), "no order-only keys at this SF"
+
+    def test_planted_one_sided_both_directions(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            user_order_activity,
+        )
+
+        d = tmp_path / "fo"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "user_id": pa.array([1, 1, 2], pa.int64())}),
+            str(d / "events.parquet"))
+        pq2.write_table(pa.table({
+            "o_custkey": pa.array([2, 3, 3, 3], pa.int64())}),
+            str(d / "orders.parquet"))
+        got = {r["id"]: r for r in user_order_activity(str(d)).take_all()}
+        assert got[1]["n_events"] == 2 and got[1]["n_orders"] == 0
+        assert got[2]["n_events"] == 1 and got[2]["n_orders"] == 1
+        assert got[3]["n_events"] == 0 and got[3]["n_orders"] == 3
+
+
 class TestShuffleDocuments:
     """Deterministic seeded global shuffle: permutation, reproducibility,
     seed sensitivity, dispersion, and key-mixer injectivity."""
