@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": lib.chunk_documents,
         "pack_documents": lib.pack_documents,
         "shuffle_documents": lib.shuffle_documents,
+        "sample_weighted": lib.sample_weighted,
         "redact_pii": _redact_pii_query,
         "repetition_stats": _repetition_stats_query,
         "dedup_minhash": dd.dedup_minhash,

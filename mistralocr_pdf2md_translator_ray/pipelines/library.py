@@ -2370,6 +2370,45 @@ def approx_top_users(sf_dir: str, k: int = 10, m: int = 256,
     }))
 
 
+def sample_weighted(sf_dir: str, k: int = 50, seed: int = 0) -> "rd.Dataset":
+    """Deterministic weighted sampling WITHOUT replacement (training-mix
+    curation: sample documents proportional to size/quality weight).
+
+    Efraimidis-Spirakis A-ES with hash-derived uniforms: priority =
+    u^(1/w) where u = (hash64(doc_id XOR hash64(seed)) + 1) / 2^64 and
+    w = n_chars; the global k LARGEST priorities are the sample.
+    Replacing the RNG with the SplitMix64 mixer makes the sample a pure
+    function of (doc_id, seed) — reproducible across runs, resumes and
+    cluster shapes, like shuffle_documents. Distribution shape: each
+    batch prunes to its local top-k (the global top-k is a subset), so
+    the all-to-all Sort sees <= k rows per batch — the fact table never
+    shuffles. log(priority) = log(u)/w is sorted instead (monotone,
+    avoids underflow at huge weights). Non-SQL (hash dialect) ->
+    rows-only; inclusion-bias and reference parity pytest-pinned."""
+    from ..functions.sketch import hash64
+
+    seed_mix = hash64(np.array([seed], dtype=np.uint64))[0]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        u = (hash64(ids ^ seed_mix).astype(np.float64) + 1.0) / 2.0**64
+        w = np.maximum(df["n_chars"].to_numpy().astype(np.float64), 1.0)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars": df["n_chars"].astype("int64"),
+            "log_priority": np.log(u) / w,
+        })
+        return out.sort_values(["log_priority", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(prune, batch_format="pandas", batch_size=65536)
+        .sort(["log_priority", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def approx_user_counts_cms(sf_dir: str, k: int = 10, m: int = 256,
                            fan_in: int = 8) -> "rd.Dataset":
     """Count-Min + Misra-Gries in ONE pass: per batch, the exact

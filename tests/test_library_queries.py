@@ -488,6 +488,77 @@ class TestShuffleDocuments:
             int(np.uint64(13679457532755275413))
 
 
+class TestSampleWeighted:
+    """Deterministic A-ES weighted sampling: exact reference parity
+    (the priority function is the spec; this pins the distributed
+    prune+sort machinery), determinism, and weight-proportional
+    inclusion bias on a planted table."""
+
+    @staticmethod
+    def _reference(doc_ids, n_chars, k, seed):
+        from mistralocr_pdf2md_translator_ray.functions.sketch import hash64
+
+        seed_mix = hash64(np.array([seed], dtype=np.uint64))[0]
+        u = (hash64(doc_ids.astype(np.uint64) ^ seed_mix)
+             .astype(np.float64) + 1.0) / 2.0**64
+        w = np.maximum(n_chars.astype(np.float64), 1.0)
+        lp = np.log(u) / w
+        order = np.lexsort((doc_ids, -lp))[:k]
+        return doc_ids[order].tolist()
+
+    def test_matches_reference(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            sample_weighted,
+        )
+
+        src = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "n_chars"])
+        exp = self._reference(src["doc_id"].to_numpy(),
+                              src["n_chars"].to_numpy(), 50, seed=3)
+        got = sample_weighted(SF_DIR, k=50, seed=3).to_pandas()
+        assert got["doc_id"].tolist() == exp
+        again = sample_weighted(SF_DIR, k=50, seed=3).to_pandas()
+        pd.testing.assert_frame_equal(got, again)
+
+    def test_k_exceeds_n_returns_all(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            sample_weighted,
+        )
+
+        got = sample_weighted(SF_DIR, k=10_000).to_pandas()
+        src = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id"])
+        assert sorted(got["doc_id"]) == sorted(src["doc_id"])
+
+    def test_inclusion_bias_follows_weights(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            sample_weighted,
+        )
+
+        # 10 heavy docs (w=10000) among 90 light (w=50); k=20 of 100
+        d = tmp_path / "ws"
+        d.mkdir()
+        n = 100
+        w = np.where(np.arange(n) < 10, 10_000, 50).astype(np.int64)
+        pq2.write_table(pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "n_chars": pa.array(w, pa.int64()),
+        }), str(d / "documents.parquet"))
+        heavy_hits = light_hits = 0
+        for seed in range(20):
+            ids = sample_weighted(str(d), k=20, seed=seed) \
+                .to_pandas()["doc_id"].to_numpy()
+            heavy_hits += (ids < 10).sum()
+            light_hits += (ids >= 10).sum()
+        # heavy docs are ~200x the weight: essentially always sampled
+        assert heavy_hits >= 0.95 * 10 * 20, heavy_hits
+        # per-doc inclusion rate: heavy >> light
+        assert heavy_hits / 10 > 3 * light_hits / 90
+
+
 class TestJoinSkew:
     def test_revenue_by_nation_under_extreme_key_skew(self, tmp_path,
                                                       ray_session):
