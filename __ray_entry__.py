@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": lib.pack_documents,
         "shuffle_documents": lib.shuffle_documents,
         "sample_weighted": lib.sample_weighted,
+        "tfidf_top_terms": lib.tfidf_top_terms,
         "redact_pii": _redact_pii_query,
         "repetition_stats": _repetition_stats_query,
         "dedup_minhash": dd.dedup_minhash,

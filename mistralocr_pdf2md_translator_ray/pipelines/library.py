@@ -2370,6 +2370,92 @@ def approx_top_users(sf_dir: str, k: int = 10, m: int = 256,
     }))
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
+                    num_buckets: int = 32) -> "rd.Dataset":
+    """Per-document top-k TF-IDF terms — the corpus-statistics join
+    shape (a VOCABULARY-scale small side, too big to broadcast at
+    100 TB, co-partitioned by token instead).
+
+    score = tf * ln(N / df) with tf = in-doc term count, df = number
+    of docs containing the term, N = corpus doc count (read from the
+    parquet FOOTER, no scan). Terms with df < min_df are dropped
+    (hapax noise). Ties break (score desc, token asc) — deterministic.
+
+    Shape: one explode pass emits (doc_id, token, tf); rows bucket by
+    token hash, and because EVERY row of a token lands in its bucket,
+    df is derived bucket-locally (one vectorized value_counts) — the
+    "vocabulary join" costs no second stream, no broadcast, and no
+    double consumption of the explode. A doc_id-bucketed top-k prune
+    follows. Token-level bytes cross two bucketed shuffles; raw text
+    never does. Rows-only (ln() dialect risk) — the pure-function
+    reference in pytest pins exact equality."""
+    import pyarrow.parquet as _pq_meta
+
+    n_docs = _pq_meta.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_tf(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, toks, tfs = [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            if not text:
+                continue
+            vc = pd.Series(text.split()).value_counts()
+            doc_ids.extend([doc_id] * len(vc))
+            toks.extend(vc.index.tolist())
+            tfs.extend(vc.to_numpy().tolist())
+        out = pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "token": pd.Series(toks, dtype="object"),
+            "tf": pd.Series(tfs, dtype="int64"),
+        })
+        out["tb"] = bucket_ids_np(out["token"].to_numpy(), num_buckets)
+        return out
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # df = rows per token (one row per (doc, token) by construction)
+        dfs = g["token"].value_counts()
+        keep_tokens = dfs[dfs >= min_df]
+        m = g[g["token"].isin(keep_tokens.index)]
+        if m.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "token": pd.Series([], dtype="object"),
+                                 "tfidf": pd.Series([], dtype="float64")})
+        df_n = keep_tokens.reindex(m["token"]).to_numpy().astype(np.float64)
+        score = m["tf"].to_numpy() * np.log(n_docs / df_n)
+        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                             "token": m["token"],
+                             "tfidf": score})
+
+    from ..stages.joins import coalesce_blocks
+
+    scored = (
+        ds.map_batches(explode_tf, batch_format="pandas", batch_size=4096)
+        .repartition(coalesce_blocks())
+        .groupby("tb")
+        .map_groups(score_bucket, batch_format="pandas")
+    )
+
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["db"] = bucket_ids_np(df["doc_id"].to_numpy(), num_buckets)
+        return df
+
+    def topk_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tfidf", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("doc_id", sort=True).head(k)
+        out = out.assign(rank=out.groupby("doc_id").cumcount() + 1)
+        return out[["doc_id", "rank", "token", "tfidf"]]
+
+    return (
+        scored.map_batches(add_doc_bucket, batch_format="pandas",
+                           batch_size=65536)
+        .groupby("db")
+        .map_groups(topk_per_doc, batch_format="pandas")
+    )
+
+
 def sample_weighted(sf_dir: str, k: int = 50, seed: int = 0) -> "rd.Dataset":
     """Deterministic weighted sampling WITHOUT replacement (training-mix
     curation: sample documents proportional to size/quality weight).

@@ -488,6 +488,77 @@ class TestShuffleDocuments:
             int(np.uint64(13679457532755275413))
 
 
+class TestTfidfTopTerms:
+    """tfidf_top_terms vs a straightforward Counter/math.log reference
+    (identical float op order -> exact equality), plus min_df and
+    tie-break pinning on a planted table."""
+
+    @staticmethod
+    def _reference(docs, k, min_df):
+        import collections
+        import math
+
+        df = collections.Counter()
+        tfs = {}
+        for doc_id, text in docs:
+            c = collections.Counter(text.split() if text else [])
+            tfs[doc_id] = c
+            df.update(c.keys())
+        n = len(docs)
+        out = {}
+        for doc_id, c in tfs.items():
+            scored = [(t, cnt * math.log(n / df[t]))
+                      for t, cnt in c.items() if df[t] >= min_df]
+            scored.sort(key=lambda ts: (-ts[1], ts[0]))
+            if scored:
+                out[doc_id] = scored[:k]
+        return out
+
+    def test_matches_reference(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            tfidf_top_terms,
+        )
+
+        src = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+        ref = self._reference(
+            list(zip(src["doc_id"], src["text"])), k=3, min_df=2)
+        got = tfidf_top_terms(SF_DIR, k=3, min_df=2).to_pandas()
+        grouped = {d: [(r["token"], r["tfidf"])
+                       for _, r in g.sort_values("rank").iterrows()]
+                   for d, g in got.groupby("doc_id")}
+        assert set(grouped) == set(ref)
+        for d in ref:
+            # np.log (SIMD) vs math.log (libm) differ by <= 1 ulp, so
+            # scores compare at rel 1e-12; the RANKING must be exact
+            # (ties share (tf, df) and break on token in both impls)
+            assert [t for t, _ in grouped[d]] == [t for t, _ in ref[d]], d
+            for (_, a), (_, b) in zip(grouped[d], ref[d]):
+                assert a == pytest.approx(b, rel=1e-12), d
+
+    def test_min_df_and_ties(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            tfidf_top_terms,
+        )
+
+        d = tmp_path / "tfidf"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # "zz" and "aa" tie on (tf=1, df=2) in doc 1 -> token asc
+            "text": ["zz aa unique1", "aa zz", "solo"],
+        }), str(d / "documents.parquet"))
+        got = tfidf_top_terms(str(d), k=2, min_df=2).to_pandas()
+        one = got[got["doc_id"] == 1].sort_values("rank")
+        assert one["token"].tolist() == ["aa", "zz"]  # tie -> lexicographic
+        # hapax tokens (df=1) never appear; doc 3 has only a hapax
+        assert "unique1" not in set(got["token"])
+        assert 3 not in set(got["doc_id"])
+
+
 class TestSampleWeighted:
     """Deterministic A-ES weighted sampling: exact reference parity
     (the priority function is the spec; this pins the distributed
