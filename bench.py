@@ -253,6 +253,9 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("parties_union", lambda: lib.parties_union(SF_DIR))
     timed("approx_user_counts_cms", lambda: lib.approx_user_counts_cms(SF_DIR))
     timed("shuffle_documents", lambda: lib.shuffle_documents(SF_DIR))
+    timed("sample_weighted", lambda: lib.sample_weighted(SF_DIR))
+    timed("user_order_activity", lambda: lib.user_order_activity(SF_DIR))
+    timed("tfidf_top_terms", lambda: lib.tfidf_top_terms(SF_DIR))
 
     from mistralocr_pdf2md_translator_ray.stages.textstats import (
         redact_documents,
