@@ -2370,6 +2370,144 @@ def approx_top_users(sf_dir: str, k: int = 10, m: int = 256,
     }))
 
 
+def customer_balance_ntile(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
+    """Exact global NTILE(tiles) OVER (ORDER BY c_acctbal, c_custkey) —
+    global ranking WITHOUT a global sort. A naive implementation sorts
+    the whole table (all-to-all over every byte) to assign tiles; this
+    one only SELECTS the tiles-1 boundary elements, then tiers rows
+    with a vectorized comparison pass:
+
+    1. boundary ranks from the NTILE size rule (first N%tiles tiles get
+       the extra row); the acctbal at each rank comes from the SAME
+       multi-target distributed histogram narrowing the exact-median
+       family uses (values never leave the cluster, <=7 rounds);
+    2. ties at a boundary value resolve by custkey: count rows strictly
+       below the boundary value, then select the custkey at the
+       remaining offset WITHIN the equal-value slice — again via the
+       narrowing machinery (custkey < 2^53 is exact in the float64 key
+       domain), so even an all-equal pathological column never puts a
+       group in one task;
+    3. one map_batches pass tiers every row against the <= tiles-1
+       (acctbal, custkey) boundary pairs lexicographically.
+
+    Rows-only in the driver window; exact DuckDB NTILE parity (incl.
+    all-equal and non-divisible N) pinned in ``TestNtile``."""
+    import pyarrow.parquet as _pq_meta
+
+    n_rows = _pq_meta.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    base, rem = divmod(n_rows, tiles)
+    sizes = [base + (1 if i < rem else 0) for i in range(tiles)]
+    ends = np.cumsum(sizes)                      # cumulative tile ends
+    b_ranks = [int(e) - 1 for e in ends[:-1]]    # 0-indexed boundary elems
+
+    if not b_ranks:  # tiles=1: every row is tier 1, nothing to select
+        return ds.map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "tier": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas", batch_size=65536)
+
+    as_vals = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "event_type": "all",
+            "value": df["c_acctbal"].astype("float64")}),
+        batch_format="pandas", batch_size=65536)
+
+    def key_stats(df: pd.DataFrame) -> pd.DataFrame:
+        k = _float_ord_keys(df["value"].to_numpy())
+        return pd.DataFrame({"kmin": [int(k.min())], "kmax": [int(k.max())]})
+
+    ks = as_vals.map_batches(key_stats, batch_format="pandas",
+                             batch_size=65536).to_pandas()
+    stats = pd.DataFrame({"event_type": ["all"], "n": [n_rows],
+                          "kmin": [int(ks["kmin"].min())],
+                          "kmax": [int(ks["kmax"].max())]})
+    rank_fns = {f"b{j}": (lambda n, r=r: r) for j, r in enumerate(b_ranks)}
+    sel = _ranks_by_histogram_narrowing(as_vals, stats, rank_fns)
+    b_vals = [float(sel[f"b{j}"].iloc[0]) for j in range(len(b_ranks))]
+
+    # tie resolution: offset of each boundary inside its equal-value
+    # slice = boundary rank - #rows strictly below the boundary value
+    uniq_vals = sorted(set(b_vals))
+    uv = np.array(uniq_vals, dtype=np.float64)
+
+    def lt_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["c_acctbal"].to_numpy().astype(np.float64)
+        return pd.DataFrame({
+            "bi": np.arange(len(uv), dtype=np.int64),
+            "n_lt": np.searchsorted(np.sort(v), uv, side="left"),
+            "n_eq": [(v == b).sum() for b in uv],
+        })
+
+    cnt = (ds.map_batches(lt_counts, batch_format="pandas",
+                          batch_size=65536)
+           .to_pandas().groupby("bi")[["n_lt", "n_eq"]].sum())
+    n_lt = {uniq_vals[i]: int(cnt.loc[i, "n_lt"]) for i in range(len(uv))}
+    n_eq = {uniq_vals[i]: int(cnt.loc[i, "n_eq"]) for i in range(len(uv))}
+
+    eq_vals = ds.map_batches(
+        lambda df, _uv=uv: (lambda m: pd.DataFrame({
+            "event_type": pd.Series(
+                ["eq" + str(int(np.searchsorted(_uv, x)))
+                 for x in df["c_acctbal"].to_numpy()[m]], dtype="object"),
+            "value": df["c_custkey"].to_numpy()[m].astype("float64"),
+        }))(np.isin(df["c_acctbal"].to_numpy().astype(np.float64), _uv)),
+        batch_format="pandas", batch_size=65536)
+
+    eq_stats_rows, eq_rank_fns = [], {}
+    eq_key_ranges = {}
+    if len(uv):
+        def eq_key_stats(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for et, sub in df.groupby("event_type", sort=False):
+                k = _float_ord_keys(sub["value"].to_numpy())
+                out.append((et, int(k.min()), int(k.max())))
+            return pd.DataFrame(out, columns=["event_type", "kmin", "kmax"])
+
+        eqs = eq_vals.map_batches(eq_key_stats, batch_format="pandas",
+                                  batch_size=65536).to_pandas()
+        eq_key_ranges = {
+            et: (int(g["kmin"].min()), int(g["kmax"].max()))
+            for et, g in eqs.groupby("event_type")}
+    for i, bval in enumerate(uniq_vals):
+        kmin, kmax = eq_key_ranges[f"eq{i}"]
+        eq_stats_rows.append({"event_type": f"eq{i}", "n": n_eq[bval],
+                              "kmin": kmin, "kmax": kmax})
+    # every boundary sharing this value selects its own custkey offset
+    for j, r in enumerate(b_ranks):
+        i = uniq_vals.index(b_vals[j])
+        off = r - n_lt[b_vals[j]]
+        eq_rank_fns[f"ck{j}"] = (lambda n, o=off: o)
+    # one narrowing per distinct boundary value, multi-target over the
+    # boundaries that share it
+    b_keys: list[tuple] = []
+    eq_stats = pd.DataFrame(eq_stats_rows)
+    per_val_sel = {}
+    for i, bval in enumerate(uniq_vals):
+        fns = {f"ck{j}": eq_rank_fns[f"ck{j}"]
+               for j in range(len(b_ranks)) if b_vals[j] == bval}
+        one = _ranks_by_histogram_narrowing(
+            eq_vals, eq_stats[eq_stats["event_type"] == f"eq{i}"], fns)
+        for j in range(len(b_ranks)):
+            if b_vals[j] == bval:
+                per_val_sel[j] = int(one[f"ck{j}"].iloc[0])
+    for j in range(len(b_ranks)):
+        b_keys.append((b_vals[j], per_val_sel[j]))
+
+    def assign_tier(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["c_acctbal"].to_numpy().astype(np.float64)
+        ck = df["c_custkey"].to_numpy().astype(np.int64)
+        tier = np.ones(len(df), dtype=np.int64)
+        for bv, bck in b_keys:
+            tier += (v > bv) | ((v == bv) & (ck > bck))
+        return pd.DataFrame({"c_custkey": ck, "tier": tier})
+
+    return ds.map_batches(assign_tier, batch_format="pandas",
+                          batch_size=65536)
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
                     num_buckets: int = 32) -> "rd.Dataset":
     """Per-document top-k TF-IDF terms — the corpus-statistics join

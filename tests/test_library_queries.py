@@ -488,6 +488,58 @@ class TestShuffleDocuments:
             int(np.uint64(13679457532755275413))
 
 
+class TestNtile:
+    """customer_balance_ntile: exact global NTILE without a global sort
+    (boundary selection via histogram narrowing + custkey tie
+    resolution). DuckDB parity incl. the pathological all-equal column
+    where EVERY boundary resolves purely by custkey."""
+
+    @staticmethod
+    def _oracle(path, tiles):
+        import duckdb
+
+        return duckdb.sql(f"""
+            SELECT c_custkey,
+                   CAST(NTILE({tiles}) OVER (ORDER BY c_acctbal, c_custkey)
+                        AS BIGINT) AS tier
+            FROM '{path}' ORDER BY c_custkey""").df()
+
+    def test_matches_duckdb(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            customer_balance_ntile,
+        )
+
+        got = customer_balance_ntile(SF_DIR).to_pandas() \
+            .sort_values("c_custkey").reset_index(drop=True)
+        exp = self._oracle(f"{SF_DIR}/customer.parquet", 4)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+
+    @pytest.mark.parametrize("tiles", [1, 3, 4, 7])
+    def test_all_equal_and_non_divisible(self, tmp_path, ray_session,
+                                         tiles):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            customer_balance_ntile,
+        )
+
+        d = tmp_path / f"nt{tiles}"
+        d.mkdir()
+        n = 10  # non-divisible by 3, 4, 7
+        pq2.write_table(pa.table({
+            "c_custkey": pa.array(np.arange(100, 100 + n)[::-1].copy(),
+                                  pa.int64()),
+            "c_acctbal": pa.array(np.full(n, 5.25), pa.float64()),
+        }), str(d / "customer.parquet"))
+        got = customer_balance_ntile(str(d), tiles=tiles).to_pandas() \
+            .sort_values("c_custkey").reset_index(drop=True)
+        exp = self._oracle(str(d / "customer.parquet"), tiles)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+
+
 class TestTfidfTopTerms:
     """tfidf_top_terms vs a straightforward Counter/math.log reference
     (identical float op order -> exact equality), plus min_df and
