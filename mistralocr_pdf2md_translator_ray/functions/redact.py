@@ -49,7 +49,7 @@ def redact_pii(text: str) -> tuple[str, int, int, int]:
     counted once.
     """
     if not text:
-        return ("" if text == "" else text, 0, 0, 0)
+        return (text, 0, 0, 0)
     out, n_email = _EMAIL_RE.subn(EMAIL_TOKEN, text)
     out, n_ip = _IPV4_RE.subn(IP_TOKEN, out)
     out, n_phone = _PHONE_RE.subn(PHONE_TOKEN, out)

@@ -2402,6 +2402,10 @@ def customer_balance_ntile(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
     ends = np.cumsum(sizes)                      # cumulative tile ends
     b_ranks = [int(e) - 1 for e in ends[:-1]]    # 0-indexed boundary elems
 
+    if n_rows == 0:  # NTILE over an empty relation is empty
+        return rd.from_arrow(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "tier": pa.array([], pa.int64())}))
     if not b_ranks:  # tiles=1: every row is tier 1, nothing to select
         return ds.map_batches(
             lambda df: pd.DataFrame({
@@ -2416,8 +2420,16 @@ def customer_balance_ntile(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
         batch_format="pandas", batch_size=65536)
 
     def key_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"kmin": pd.array([], dtype="uint64"),
+                                 "kmax": pd.array([], dtype="uint64")})
         k = _float_ord_keys(df["value"].to_numpy())
-        return pd.DataFrame({"kmin": [int(k.min())], "kmax": [int(k.max())]})
+        # dtype pin: without it a mixed-sign table emits int64 blocks
+        # next to uint64 blocks and the Arrow concat fails (same reason
+        # _big_type_key_stats pins these)
+        return pd.DataFrame({"kmin": [int(k.min())],
+                             "kmax": [int(k.max())]}).astype(
+            {"kmin": "uint64", "kmax": "uint64"})
 
     ks = as_vals.map_batches(key_stats, batch_format="pandas",
                              batch_size=65536).to_pandas()
@@ -2447,14 +2459,23 @@ def customer_balance_ntile(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
     n_lt = {uniq_vals[i]: int(cnt.loc[i, "n_lt"]) for i in range(len(uv))}
     n_eq = {uniq_vals[i]: int(cnt.loc[i, "n_eq"]) for i in range(len(uv))}
 
-    eq_vals = ds.map_batches(
-        lambda df, _uv=uv: (lambda m: pd.DataFrame({
-            "event_type": pd.Series(
-                ["eq" + str(int(np.searchsorted(_uv, x)))
-                 for x in df["c_acctbal"].to_numpy()[m]], dtype="object"),
+    def eq_explode(df: pd.DataFrame, _uv=uv) -> pd.DataFrame:
+        v = df["c_acctbal"].to_numpy().astype(np.float64)
+        m = np.isin(v, _uv)
+        idx = np.searchsorted(_uv, v[m])
+        return pd.DataFrame({
+            "event_type": np.char.add("eq", idx.astype(np.int64).astype(str)),
             "value": df["c_custkey"].to_numpy()[m].astype("float64"),
-        }))(np.isin(df["c_acctbal"].to_numpy().astype(np.float64), _uv)),
-        batch_format="pandas", batch_size=65536)
+        })
+
+    # boundary-valued rows only — tiny by construction; materialize so
+    # the stats pass + per-value narrowing rounds don't each re-run the
+    # customer scan (CLAUDE.md two-consumer rule). as_vals above stays
+    # lazy on purpose: like the exact-median family, narrowing re-scans
+    # the raw stream per round rather than holding a corpus-scale
+    # column in the object store.
+    eq_vals = ds.map_batches(eq_explode, batch_format="pandas",
+                             batch_size=65536).materialize()
 
     eq_stats_rows, eq_rank_fns = [], {}
     eq_key_ranges = {}
@@ -2464,7 +2485,9 @@ def customer_balance_ntile(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
             for et, sub in df.groupby("event_type", sort=False):
                 k = _float_ord_keys(sub["value"].to_numpy())
                 out.append((et, int(k.min()), int(k.max())))
-            return pd.DataFrame(out, columns=["event_type", "kmin", "kmax"])
+            return pd.DataFrame(
+                out, columns=["event_type", "kmin", "kmax"]).astype(
+                {"kmin": "uint64", "kmax": "uint64"})
 
         eqs = eq_vals.map_batches(eq_key_stats, batch_format="pandas",
                                   batch_size=65536).to_pandas()
@@ -2645,6 +2668,8 @@ def approx_user_counts_cms(sf_dir: str, k: int = 10, m: int = 256,
     respectively — asserted against exact counts in pytest).
     Approximate -> rows-only driver check."""
     from ..functions.sketch import (
+        CMS_D,
+        CMS_W,
         cms_merge,
         cms_partial,
         cms_query,
@@ -2666,7 +2691,8 @@ def approx_user_counts_cms(sf_dir: str, k: int = 10, m: int = 256,
     def _unpack(row) -> tuple:
         return ((np.frombuffer(row["keys"], np.int64),
                  np.frombuffer(row["counts"], np.int64), int(row["err"])),
-                np.frombuffer(row["grid"], np.int64).reshape(4, -1).copy())
+                np.frombuffer(row["grid"], np.int64)
+                .reshape(CMS_D, CMS_W).copy())
 
     def sketch(t: pa.Table) -> pa.Table:
         vc = pc.value_counts(t["user_id"])
@@ -2682,7 +2708,7 @@ def approx_user_counts_cms(sf_dir: str, k: int = 10, m: int = 256,
             grid = g if grid is None else cms_merge(grid, g)
         if acc is None:
             return _pack((np.array([], np.int64), np.array([], np.int64), 0),
-                         np.zeros((4, 2048), np.int64)).to_pandas()
+                         np.zeros((CMS_D, CMS_W), np.int64)).to_pandas()
         return _pack(acc, grid).to_pandas()
 
     tree = (

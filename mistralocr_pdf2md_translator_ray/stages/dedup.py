@@ -706,9 +706,10 @@ def dedup_spans(sf_dir: str, span_tokens: int = 16,
     )
 
     def n_spans(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        counts = [-(-len(x.split()) // span_tokens) if x and x.split() else 0
-                  for x in texts]
+        counts = []
+        for x in t["text"].to_pylist():
+            toks = x.split() if x else []
+            counts.append(-(-len(toks) // span_tokens) if toks else 0)
         return pa.table({"doc_id": t["doc_id"],
                          "n_spans": pa.array(counts, pa.int64())})
 

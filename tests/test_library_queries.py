@@ -515,6 +515,75 @@ class TestNtile:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                       check_exact=True)
 
+    def test_negative_balances_and_mixed_sign_parity(self, tmp_path,
+                                                     ray_session):
+        """Negative acctbals flip the ordered-key transform's sign path;
+        mixed-sign input is also the regime where un-pinned kmin/kmax
+        dtypes produced conflicting int64/uint64 Arrow blocks."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            customer_balance_ntile,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 400
+        d = tmp_path / "neg"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "c_custkey": pa.array(np.arange(n), pa.int64()),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-999.99, 9999.99, n), 2), pa.float64()),
+        }), str(d / "customer.parquet"))
+        got = customer_balance_ntile(str(d)).to_pandas() \
+            .sort_values("c_custkey").reset_index(drop=True)
+        exp = self._oracle(str(d / "customer.parquet"), 4)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+
+    def test_key_stats_blocks_concat_across_signs(self):
+        """The kmin/kmax dtype pin: an all-non-negative batch (keys >=
+        2^63) and a negative-bearing batch must emit Arrow-compatible
+        blocks — un-pinned, pandas infers uint64 vs int64 and the block
+        concat fails only on multi-batch tables (masked at test SF)."""
+        import pyarrow as pa
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            _float_ord_keys,
+        )
+
+        def key_stats_like(vals):
+            k = _float_ord_keys(np.asarray(vals, dtype=np.float64))
+            return pd.DataFrame({"kmin": [int(k.min())],
+                                 "kmax": [int(k.max())]}).astype(
+                {"kmin": "uint64", "kmax": "uint64"})
+
+        pos = key_stats_like([1.5, 2.5])      # keys land above 2^63
+        neg = key_stats_like([-3.0, 4.0])
+        t = pa.concat_tables([pa.Table.from_pandas(pos),
+                              pa.Table.from_pandas(neg)])
+        assert t.num_rows == 2
+        assert str(t.schema.field("kmin").type) == "uint64"
+
+    def test_empty_table(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            customer_balance_ntile,
+        )
+
+        d = tmp_path / "empty"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_acctbal": pa.array([], pa.float64()),
+        }), str(d / "customer.parquet"))
+        ds = customer_balance_ntile(str(d))
+        assert ds.schema().names == ["c_custkey", "tier"]
+        assert ds.count() == 0
+
     @pytest.mark.parametrize("tiles", [1, 3, 4, 7])
     def test_all_equal_and_non_divisible(self, tmp_path, ray_session,
                                          tiles):
