@@ -125,6 +125,19 @@ def _payload_resize_query(sf_dir: str) -> Any:
     return resize_payloads(rd.from_arrow(p), width=16, height=16)
 
 
+def _neardup_images_query(sf_dir: str) -> Any:
+    """Perceptual near-dup image removal (dHash + derived-band
+    blocking) over the synthetic payload table — rows-only; real-PNG
+    and fake-rung behavior pinned in TestImageDhash."""
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.sources import generate_transcripts
+    from mistralocr_pdf2md_translator_ray.stages.multimodal import neardup_images
+
+    _t, p = generate_transcripts(n_convs=50, n_turns=2000, seed=42)
+    return neardup_images(rd.from_arrow(p))
+
+
 def _frame_sample_query(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -242,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_features": _payload_features_query,
         "payload_resize": _payload_resize_query,
         "frame_sample": _frame_sample_query,
+        "neardup_images": _neardup_images_query,
     }
     # Driver-window ordering: the driver SQL-checks a bounded prefix of
     # this dict, so every oracle-backed query must precede the

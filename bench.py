@@ -277,6 +277,8 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
 
     timed("knn_cosine_ivf_indexed",
           lambda: _entry.queries()["knn_cosine_ivf_indexed"](SF_DIR))
+    timed("neardup_images",
+          lambda: _entry.queries()["neardup_images"](SF_DIR))
 
 
 def _burn(_):

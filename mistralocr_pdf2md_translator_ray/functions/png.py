@@ -224,3 +224,15 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     xs = np.minimum((((np.arange(width) + 0.5) * w / width)).astype(np.int64),
                     w - 1)
     return arr[ys][:, xs]
+
+
+def dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash (dHash): resample the luma plane to 9x8,
+    one bit per horizontal neighbor pair (left < right). Invariant to
+    uniform brightness shifts and any change outside the sampled grid;
+    small local edits flip few bits, so Hamming distance is a
+    perceptual near-dup metric (the standard pHash-family baseline).
+    Returns an unsigned value in [0, 2^64)."""
+    g = resize_nearest(gray, 9, 8).astype(np.float64)
+    bits = (g[:, :-1] < g[:, 1:]).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")

@@ -288,3 +288,168 @@ def sample_frames(payloads: "rd.Dataset", every: int = 2) -> "rd.Dataset":
         num_cpus=1,
         fn_constructor_kwargs={"every": every},
     )
+
+
+class PayloadDHashActor:
+    """binary payload -> 64-bit perceptual dHash (+ stable vec_id).
+
+    Same three decode rungs as PayloadFeatureActor (Pillow / stdlib PNG
+    / deterministic blake2b fake). On the fake rung the "hash" is a
+    blake2b digest of the bytes, so byte-identical payloads still
+    collide exactly — near-dup detection degrades to exact-dup instead
+    of silently inventing similarity. vec_id is blake2b-63bit over
+    (conv_id, turn_idx, payload_id); collisions are ~n^2/2^63.
+    """
+
+    def __init__(self, fake: bool | None = None) -> None:
+        self._codec = None if fake is True else probe_image_codec()
+        self._fake = (self._codec is None) if fake is None else fake
+        self._mode = fake
+
+    def _hash(self, blob: bytes) -> int:
+        from ..functions.png import dhash64
+
+        if self._mode is not True:
+            if self._codec is not None:
+                import io
+
+                img = self._codec.open(io.BytesIO(blob)).convert("L")
+                return dhash64(np.asarray(img, dtype=np.float64))
+            if is_png(blob):
+                return dhash64(to_gray(decode_png(blob)))
+            if self._mode is False:
+                raise NotImplementedError(
+                    "payload dhash requires an image codec (Pillow) "
+                    "for non-PNG payloads; not available here")
+        d = hashlib.blake2b(blob or b"", digest_size=8).digest()
+        return int.from_bytes(d, "big")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_pylist()
+        pids = batch["payload_id"].to_pylist()
+        vec_ids, hashes, statuses = [], [], []
+        for cid, ti, pid, blob in zip(convs, turns, pids,
+                                      batch["payload"].to_pylist()):
+            key = f"{cid}|{ti}|{pid}".encode("utf-8")
+            vec_ids.append(int.from_bytes(
+                hashlib.blake2b(key, digest_size=8).digest(), "big") >> 1)
+            try:
+                h = self._hash(bytes(blob) if blob is not None else b"")
+                statuses.append("ok")
+            except (NotImplementedError, PngError) as e:
+                h = 0
+                statuses.append(f"error: {e}")
+            hashes.append(h)
+        return pa.table({
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "payload_id": batch["payload_id"],
+            "dhash": pa.array(np.array(hashes, dtype=np.uint64)
+                              .astype(np.int64), pa.int64()),
+            "decode_status": pa.array(statuses, pa.string()),
+        })
+
+
+def payload_dhash(payloads: "rd.Dataset",
+                  fake: bool | None = None) -> "rd.Dataset":
+    """Payload table -> perceptual-hash table (actor pool, small
+    batches: binary rows are wide)."""
+    return payloads.map_batches(
+        PayloadDHashActor,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
+                   fake: bool | None = None) -> "rd.Dataset":
+    """Perceptual near-duplicate image removal: dHash + band blocking.
+
+    Same derived-band contract as dedup_simhash (bands = max_hamming+1,
+    pigeonhole: Hamming <= max_hamming guarantees >= 1 identical band),
+    inline Hamming verification inside each band bucket (the sketch IS
+    the signature, nothing re-reads payload bytes), adaptive
+    clustering/removal via the shared dedup machinery, and a final
+    co-group maps kept vec_ids back to payload keys. Error rows (hash
+    0) are excluded from banding so they can never cluster together.
+    Returns kept (conv_id, turn_idx, payload_id, dhash)."""
+    from ..functions.dedup import hamming64, simhash_bands
+    from .dedup import _keep_after_pairs, _pairs_dataset
+    from .joins import cogroup
+
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    # hashes are small (fixed-width columns, no payload bytes) and feed
+    # three consumers (bands, keep-filter, final join) — materialize
+    hashed = payload_dhash(payloads, fake=fake).materialize()
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids, keys, hs = [], [], []
+        ok = [s == "ok" for s in t["decode_status"].to_pylist()]
+        for keep, vid, h in zip(ok, t["vec_id"].to_pylist(),
+                                t["dhash"].to_pylist()):
+            if not keep:
+                continue
+            hu = int(np.int64(h).astype(np.uint64))
+            for i, band in enumerate(simhash_bands(hu, bands=n_bands)):
+                ids.append(vid)
+                keys.append(f"{i}:{band:x}")
+                hs.append(h)
+        return pa.table({
+            "band_key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array(hs, pa.int64()),
+        })
+
+    buckets = hashed.map_batches(bands, batch_format="pyarrow",
+                                 batch_size=4096)
+
+    def hamming_pairs(sub: pd.DataFrame):
+        rows = sorted(set(zip((int(x) for x in sub["doc_id"]),
+                              (int(h) for h in sub["simhash"]))))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                ha = int(np.int64(rows[i][1]).astype(np.uint64))
+                hb = int(np.int64(rows[j][1]).astype(np.uint64))
+                if rows[i][0] != rows[j][0] and \
+                        hamming64(ha, hb) <= max_hamming:
+                    yield rows[i][0], rows[j][0]
+
+    verified, _n_raw = _pairs_dataset(buckets, hamming_pairs)
+    ids_only = hashed.map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"]}),
+        batch_format="pyarrow")
+    kept = _keep_after_pairs(ids_only, verified)
+
+    def back(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        m = rdf.merge(ldf[["doc_id"]].drop_duplicates(),
+                      on="doc_id", how="inner")
+        return m[["conv_id", "turn_idx", "payload_id", "dhash"]]
+
+    def as_doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["vec_id"],
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "payload_id": t["payload_id"],
+            "dhash": t["dhash"],
+        })
+
+    return cogroup(
+        kept,
+        hashed.map_batches(as_doc_rows, batch_format="pyarrow"),
+        on=["doc_id"],
+        merge_fn=back,
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("conv_id", pa.string()),
+                                ("turn_idx", pa.int32()),
+                                ("payload_id", pa.string()),
+                                ("dhash", pa.int64())]),
+    )

@@ -696,3 +696,119 @@ class TestDedupSpans:
             .sort_values("doc_id").reset_index(drop=True)
         import pandas as pd
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestImageDhash:
+    """Perceptual dHash + near-dup image removal: kernel invariances,
+    real-PNG dedup through the stdlib codec rung, fake-rung exact-dup
+    degradation, and the error-row isolation contract."""
+
+    def _img(self, seed, shape=(24, 32, 3)):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, shape, dtype=np.uint8)
+
+    def test_kernel_invariances(self):
+        from mistralocr_pdf2md_translator_ray.functions.png import (
+            decode_png,
+            dhash64,
+            encode_png,
+            to_gray,
+        )
+
+        img = self._img(1)
+        h = dhash64(to_gray(img))
+        assert 0 <= h < 1 << 64
+        # uniform brightness shift flips no gradient bits
+        shifted = np.clip(img.astype(np.int16) + 15, 0, 255).astype(np.uint8)
+        assert dhash64(to_gray(shifted)) == h
+        # PNG encode/decode round trip is exact
+        assert dhash64(to_gray(decode_png(encode_png(img)))) == h
+        # a genuinely different image is far (this pair: hamming ~31)
+        h2 = dhash64(to_gray(self._img(2)))
+        assert bin(h ^ h2).count("1") > 8
+
+    def test_offgrid_edit_is_invisible(self):
+        """Nearest-neighbor 9x8 sampling reads specific source pixels;
+        editing any OTHER pixel leaves the hash bit-identical — the
+        planted-near-dup construction the pipeline test relies on."""
+        from mistralocr_pdf2md_translator_ray.functions.png import (
+            dhash64,
+            resize_nearest,
+            to_gray,
+        )
+
+        img = self._img(3)
+        h, w = img.shape[:2]
+        ys = set(np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1))
+        xs = set(np.minimum(((np.arange(9) + 0.5) * w / 9).astype(int), w - 1))
+        edited = img.copy()
+        for y in range(h):
+            if y not in ys:
+                edited[y, :, :] = 255 - edited[y, :, :]  # wreck whole rows
+        assert dhash64(to_gray(edited)) == dhash64(to_gray(img))
+
+    @staticmethod
+    def _payload_table(rows):
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "payload_id": pa.array([r[2] for r in rows], pa.string()),
+            "kind": pa.array(["figure"] * len(rows), pa.string()),
+            "payload": pa.array([r[3] for r in rows], pa.binary()),
+        })
+
+    def test_real_png_neardup_removal(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.functions.png import encode_png
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import (
+            neardup_images,
+        )
+
+        img = self._img(4)
+        h, w = img.shape[:2]
+        ys = set(np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1))
+        near = img.copy()
+        for y in range(h):
+            if y not in ys:
+                near[y] = 255 - near[y]
+        other = self._img(5)
+        tbl = self._payload_table([
+            ("c1", 1, "p1", encode_png(img)),
+            ("c1", 2, "p2", encode_png(near)),   # same sampled grid
+            ("c2", 1, "p3", encode_png(other)),
+        ])
+        kept = neardup_images(rd.from_arrow(tbl)).to_pandas()
+        ids = set(kept["payload_id"])
+        assert "p3" in ids
+        assert len(ids & {"p1", "p2"}) == 1  # exactly one of the pair
+        assert len(kept) == 2
+
+    def test_fake_rung_exact_dup_only(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import (
+            neardup_images,
+        )
+
+        blob = b'{"kind": "receipt", "total": 1.0}'
+        tbl = self._payload_table([
+            ("c1", 1, "p1", blob),
+            ("c1", 2, "p2", blob),                 # byte-identical
+            ("c2", 1, "p3", b'{"kind": "receipt", "total": 2.0}'),
+        ])
+        kept = neardup_images(rd.from_arrow(tbl), fake=True).to_pandas()
+        ids = set(kept["payload_id"])
+        assert "p3" in ids and len(ids & {"p1", "p2"}) == 1
+
+    def test_error_rows_never_cluster(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import (
+            neardup_images,
+            payload_dhash,
+        )
+
+        tbl = self._payload_table([
+            ("c1", 1, "p1", b"not a png"),
+            ("c1", 2, "p2", b"also not a png"),
+        ])
+        hashed = payload_dhash(rd.from_arrow(tbl), fake=False).to_pandas()
+        assert all(s.startswith("error") for s in hashed["decode_status"])
+        kept = neardup_images(rd.from_arrow(tbl), fake=False).to_pandas()
+        # both error rows share hash 0 but are excluded from banding
+        assert len(kept) == 2
