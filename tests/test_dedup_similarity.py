@@ -812,3 +812,39 @@ class TestImageDhash:
         kept = neardup_images(rd.from_arrow(tbl), fake=False).to_pandas()
         # both error rows share hash 0 but are excluded from banding
         assert len(kept) == 2
+
+
+class TestDedupSpansProperty:
+    """Randomized corpora with a tiny vocabulary (forcing heavy span
+    collisions) must match the global-seen-set reference exactly."""
+
+    @staticmethod
+    def _write(tmpdir, docs):
+        t = pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        })
+        pq.write_table(t, f"{tmpdir}/documents.parquet")
+
+    def test_random_small_vocab_corpora(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_spans
+
+        rng = np.random.default_rng(17)
+        vocab = ["a", "bb", "ccc", "dd"]
+        for trial in range(3):
+            w = int(rng.integers(2, 5))
+            docs = []
+            for i in range(int(rng.integers(5, 25))):
+                n = int(rng.integers(0, 30))
+                docs.append((i, " ".join(rng.choice(vocab, n).tolist())))
+            d = tmp_path / f"t{trial}"
+            d.mkdir()
+            self._write(str(d), docs)
+            got = {r["doc_id"]: r
+                   for r in dedup_spans(str(d), span_tokens=w).take_all()}
+            ref = TestDedupSpans._reference(docs, w)
+            assert len(got) == len(docs)
+            for doc_id, exp in ref.items():
+                r = got[doc_id]
+                assert (r["text_deduped"], r["n_spans_kept"],
+                        r["n_spans_dropped"]) == exp, (trial, w, doc_id)
