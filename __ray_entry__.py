@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dd.dedup_simhash,
         "neardup_embedding": dd.neardup_embedding,
         "dedup_spans": dd.dedup_spans,
+        "neardup_clusters": dd.neardup_clusters,
         # similarity search (brute-force baseline + IVF scale path)
         "knn_cosine": lib.knn_cosine,
         "knn_cosine_ivf": _knn_ivf_query,

@@ -106,9 +106,9 @@ def _union_find_removed(*blocks: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(removed, pa.int64())})
 
 
-def _removed_ds_by_label_propagation(pairs: "rd.Dataset",
-                                     num_buckets: int = 32,
-                                     max_iters: int = 64) -> "rd.Dataset":
+def _labels_ds_by_propagation(pairs: "rd.Dataset",
+                              num_buckets: int = 32,
+                              max_iters: int = 64) -> "rd.Dataset":
     """Connected components by distributed min-label propagation.
 
     Takes the verified-pair Dataset directly (no driver materialization).
@@ -116,12 +116,12 @@ def _removed_ds_by_label_propagation(pairs: "rd.Dataset",
     bucketed shuffle) and re-minimizes per node. Labels only ever
     decrease, so the global label sum is a monotone convergence witness —
     iterate until it is stable (O(cluster diameter) rounds; near-dup
-    clusters are star/clique shaped, so 2-3 in practice). Returns a
-    Dataset of doc_ids whose final label isn't themselves (the docs to
-    drop). Memory per task is one bucket's edges, never the whole graph.
-    Warns loudly if max_iters rounds pass without reaching the fixpoint
-    (adversarial chain-shaped graphs deeper than max_iters) — unconverged
-    clustering is never silent.
+    clusters are star/clique shaped, so 2-3 in practice). Returns the
+    full fixpoint label Dataset ``(nbr, lbl)`` — node and its cluster's
+    min id. Memory per task is one bucket's edges, never the whole
+    graph. Warns loudly if max_iters rounds pass without reaching the
+    fixpoint (adversarial chain-shaped graphs deeper than max_iters) —
+    unconverged clustering is never silent.
     """
     from ray.data.aggregate import Sum
 
@@ -208,13 +208,69 @@ def _removed_ds_by_label_propagation(pairs: "rd.Dataset",
             RuntimeWarning,
         )
 
+    return labels
+
+
+@ray.remote
+def _union_find_labels(*blocks: pa.Table) -> pa.Table:
+    """Union-find over pair blocks -> the FULL (doc_id, cluster_id)
+    root map (roots map to themselves), run as one bounded Ray task —
+    same gating contract as _union_find_removed."""
+    pairs: list[tuple[int, int]] = []
+    for t in blocks:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            continue
+        pairs.extend(zip(t["a"].to_numpy().tolist(), t["b"].to_numpy().tolist()))
+    roots = _union_find(pairs)
+    items = sorted(roots.items())
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in items], pa.int64()),
+        "cluster_id": pa.array([r for _, r in items], pa.int64()),
+    })
+
+
+def cluster_labels(pairs: "rd.Dataset") -> "rd.Dataset":
+    """Verified-pair Dataset -> (doc_id, cluster_id) for every doc that
+    appears in at least one pair (cluster_id = min doc_id of the
+    connected component; roots are included, mapping to themselves).
+
+    The ASSIGNMENT view of the dedup family — _keep_after_pairs answers
+    "which docs survive", this answers "which docs belong together"
+    (canonical-document selection, cluster-size audits, per-cluster
+    sampling). Adaptive exactly like removal: bounded pair sets run one
+    union-find Ray task (pair blocks travel by ObjectRef); larger sets
+    take the distributed min-label propagation fixpoint."""
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    if n_pairs <= _UNION_FIND_MAX_PAIRS:
+        return rd.from_arrow(
+            ray.get(_union_find_labels.remote(*pairs.to_arrow_refs())))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["nbr"], "cluster_id": t["lbl"]})
+
+    return _labels_ds_by_propagation(pairs).map_batches(
+        rename, batch_format="pyarrow")
+
+
+def _removed_ds_by_label_propagation(pairs: "rd.Dataset",
+                                     num_buckets: int = 32,
+                                     max_iters: int = 64) -> "rd.Dataset":
+    """Label propagation projected to the docs to DROP (final label
+    isn't the node itself)."""
+
     def removed_only(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         mask = pc.not_equal(t["nbr"], t["lbl"])
         return pa.table({"doc_id": t.filter(mask)["nbr"]})
 
-    return labels.map_batches(removed_only, batch_format="pyarrow")
+    return _labels_ds_by_propagation(pairs, num_buckets, max_iters) \
+        .map_batches(removed_only, batch_format="pyarrow")
 
 
 def _removed_by_label_propagation(pairs: list[tuple[int, int]],
@@ -509,6 +565,35 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> "rd.Da
         os.path.join(sf_dir, "documents.parquet"), pairs, char_shingles,
         threshold, n_upper=n_raw)
     return _keep_after_pairs(docs, verified)
+
+
+def neardup_clusters(sf_dir: str, threshold: float = 0.8,
+                     seed: int = 42) -> "rd.Dataset":
+    """Cluster-assignment view of dedup_minhash: the same MinHash/LSH
+    candidate generation and exact-Jaccard verification, but returning
+    (doc_id, cluster_id) for every clustered document instead of the
+    kept set — what canonical-document selection and cluster-size
+    audits consume. Singleton documents (no verified pair) are absent
+    by contract. Consistency with dedup_minhash is pytest-pinned:
+    removed == clustered minus the cluster minima."""
+    docs = _read_docs(sf_dir)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = minhash_signature(char_shingles(text), _N_PERM, seed)
+            for i, bh in enumerate(band_hashes(sig, _BANDS)):
+                ids.append(d)
+                keys.append(f"{i}:{bh:x}")
+        return pa.table({"band_key": pa.array(keys, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+    pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
+    verified = _verify_jaccard_ds(
+        os.path.join(sf_dir, "documents.parquet"), pairs, char_shingles,
+        threshold, n_upper=n_raw)
+    return cluster_labels(verified)
 
 
 def dedup_ngram(sf_dir: str, threshold: float = 0.7, seed: int = 7) -> "rd.Dataset":

@@ -848,3 +848,48 @@ class TestDedupSpansProperty:
                 r = got[doc_id]
                 assert (r["text_deduped"], r["n_spans_kept"],
                         r["n_spans_dropped"]) == exp, (trial, w, doc_id)
+
+
+class TestNeardupClusters:
+    """cluster_labels (the assignment view): union-find parity on both
+    adaptive paths, and consistency with dedup_minhash's kept set."""
+
+    def _pairs_ds(self, pairs):
+        a = np.array([p[0] for p in pairs], np.int64)
+        b = np.array([p[1] for p in pairs], np.int64)
+        return rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+
+    @pytest.mark.parametrize("force_propagation", [False, True])
+    def test_matches_union_find(self, ray_session, monkeypatch,
+                                force_propagation):
+        from mistralocr_pdf2md_translator_ray.stages import dedup as dd
+
+        if force_propagation:
+            monkeypatch.setattr(dd, "_UNION_FIND_MAX_PAIRS", 0)
+        for pairs in TestClustering.CASES:
+            roots = dd._union_find(pairs)
+            got = {r["doc_id"]: r["cluster_id"]
+                   for r in dd.cluster_labels(self._pairs_ds(pairs)).take_all()}
+            assert got == roots, (force_propagation, pairs)
+
+    def test_empty_pairs(self, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import cluster_labels
+
+        got = cluster_labels(self._pairs_ds([])).take_all()
+        assert got == []
+
+    def test_consistent_with_dedup_minhash(self, dup_dir, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import (
+            dedup_minhash,
+            neardup_clusters,
+        )
+
+        clusters = neardup_clusters(dup_dir).to_pandas()
+        kept = sorted(r["doc_id"] for r in dedup_minhash(dup_dir).take_all())
+        # planted: docs 0,1,2 are one near-dup cluster rooted at 0
+        assert set(clusters["doc_id"]) == {0, 1, 2}
+        assert set(clusters["cluster_id"]) == {0}
+        # removal view == clustered minus the cluster minima
+        removed = set(clusters.loc[
+            clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
+        assert sorted(set([0, 1, 2, 3, 4]) - removed) == kept
