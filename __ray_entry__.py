@@ -125,6 +125,26 @@ def _payload_resize_query(sf_dir: str) -> Any:
     return resize_payloads(rd.from_arrow(p), width=16, height=16)
 
 
+def _curate_corpus_query(sf_dir: str) -> Any:
+    """Staged curation job (scrub -> near-dup -> span-dedup -> order):
+    runs the composed pipeline under /tmp and returns the stage
+    manifest as one row — rows-only; stage equivalence + resume +
+    determinism pinned in tests/test_curate.py."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from mistralocr_pdf2md_translator_ray.pipelines.curate import curate_corpus
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_curate_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)  # fresh run each invocation
+    return pd.DataFrame([curate_corpus(sf_dir, out)])
+
+
 def _neardup_images_query(sf_dir: str) -> Any:
     """Perceptual near-dup image removal (dHash + derived-band
     blocking) over the synthetic payload table — rows-only; real-PNG
@@ -257,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_resize": _payload_resize_query,
         "frame_sample": _frame_sample_query,
         "neardup_images": _neardup_images_query,
+        "curate_corpus": _curate_corpus_query,
     }
     # Driver-window ordering: the driver SQL-checks a bounded prefix of
     # this dict, so every oracle-backed query must precede the

@@ -265,6 +265,7 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("redact_pii", lambda: redact_documents(SF_DIR))
     timed("repetition_stats", lambda: repetition_stats(SF_DIR))
     timed("dedup_spans", lambda: dd.dedup_spans(SF_DIR))
+    timed("neardup_clusters", lambda: dd.neardup_clusters(SF_DIR))
     timed("dedup_ngram", lambda: dd.dedup_ngram(SF_DIR))
     timed("dedup_simhash", lambda: dd.dedup_simhash(SF_DIR))
     timed("neardup_embedding", lambda: dd.neardup_embedding(SF_DIR))

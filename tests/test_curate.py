@@ -1,0 +1,84 @@
+"""Staged curation job: end-to-end composition, stage-granular resume,
+and determinism of the final ordered corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from mistralocr_pdf2md_translator_ray.pipelines.curate import curate_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read_docs_dir(d):
+    return pq.read_table(os.path.join(d, "documents.parquet")).to_pandas()
+
+
+class TestCurateCorpus:
+    @pytest.fixture(scope="class")
+    def run(self, tmp_path_factory, ray_session):
+        out = str(tmp_path_factory.mktemp("curate"))
+        manifest = curate_corpus(SF, out, span_tokens=8)
+        return out, manifest
+
+    def test_stage_outputs_and_monotone_counts(self, run):
+        out, m = run
+        for stage in ("scrub", "dedup", "spans", "order"):
+            assert os.path.exists(os.path.join(out, stage, "_SUCCESS"))
+        src_rows = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+        assert m["scrub"] == src_rows              # scrub rewrites, never drops
+        assert m["dedup"] <= m["scrub"]            # near-dup removal shrinks
+        assert m["spans"] == m["dedup"]            # span dedup keeps every doc
+        assert m["order"] == m["spans"]
+        assert m["sequences"] >= 1
+
+    def test_dedup_stage_matches_standalone(self, run):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_minhash
+
+        out, m = run
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_minhash(os.path.join(out, "scrub")).take_all())
+        got = sorted(_read_docs_dir(os.path.join(out, "dedup"))["doc_id"])
+        assert got == kept
+
+    def test_span_stage_matches_standalone(self, run):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_spans
+
+        out, m = run
+        exp = dedup_spans(os.path.join(out, "dedup"), span_tokens=8) \
+            .to_pandas().set_index("doc_id")["text_deduped"]
+        got = _read_docs_dir(os.path.join(out, "spans")).set_index("doc_id")
+        assert len(got) == len(exp)
+        assert (got["text"] == exp.reindex(got.index)).all()
+
+    def test_resume_skips_completed_stages(self, run):
+        import shutil
+
+        out, m = run
+        # record stage-1 output mtimes, delete the LAST stage only
+        d1 = os.path.join(out, "scrub", "documents.parquet")
+        before = {f: os.path.getmtime(os.path.join(d1, f))
+                  for f in os.listdir(d1)}
+        shutil.rmtree(os.path.join(out, "order"))
+        m2 = curate_corpus(SF, out, span_tokens=8)
+        assert m2 == m
+        after = {f: os.path.getmtime(os.path.join(d1, f))
+                 for f in os.listdir(d1)}
+        assert after == before  # earlier stages untouched byte-for-byte
+
+    def test_final_order_deterministic(self, run, tmp_path):
+        out, m = run
+        a = pq.read_table(os.path.join(out, "order", "documents.parquet")) \
+            .to_pandas()
+        out2 = str(tmp_path / "again")
+        curate_corpus(SF, out2, span_tokens=8)
+        b = pq.read_table(os.path.join(out2, "order", "documents.parquet")) \
+            .to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("shuffle_key").reset_index(drop=True),
+            b.sort_values("shuffle_key").reset_index(drop=True))
