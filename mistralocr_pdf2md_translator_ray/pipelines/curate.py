@@ -53,6 +53,14 @@ def _write_documents(ds: "rd.Dataset", d: str) -> int:
     which take directories. Row count comes from the written footers,
     not a re-execution."""
     target = os.path.join(d, "documents.parquet")
+    # crash healing: a stage dir without _SUCCESS may hold a partial
+    # previous write — clear it so stale files can't mix into this
+    # write's footer count (same discipline as checkpoint partition
+    # invalidation in state/checkpoint.py)
+    if os.path.exists(target):
+        import shutil
+
+        shutil.rmtree(target)
     os.makedirs(target, exist_ok=True)
     ds.write_parquet(target)
     return sum(
@@ -127,6 +135,10 @@ def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
         shuffled = lib.shuffle_documents(d3, seed=seed)
         n = _write_documents(shuffled, d4)
         ptarget = os.path.join(d4, "packing.parquet")
+        if os.path.exists(ptarget):
+            import shutil
+
+            shutil.rmtree(ptarget)
         os.makedirs(ptarget, exist_ok=True)
         lib.pack_documents(d3, seq_tokens=seq_tokens).write_parquet(ptarget)
         n_seq = sum(

@@ -71,6 +71,24 @@ class TestCurateCorpus:
                  for f in os.listdir(d1)}
         assert after == before  # earlier stages untouched byte-for-byte
 
+    def test_crash_healing_clears_partial_stage(self, run):
+        """A stage dir WITHOUT _SUCCESS (mid-write crash) may hold
+        stale files; the rerun must clear them so footer counts can't
+        mix old and new writes."""
+        import os as _os
+        import shutil
+
+        out, m = run
+        d4 = _os.path.join(out, "order")
+        _os.remove(_os.path.join(d4, "_SUCCESS"))  # simulate crash
+        stray = _os.path.join(d4, "documents.parquet", "zz_stale.parquet")
+        target = _os.path.join(out, "spans", "documents.parquet")
+        src = next(f for f in _os.listdir(target) if f.endswith(".parquet"))
+        shutil.copy(_os.path.join(target, src), stray)
+        m2 = curate_corpus(SF, out, span_tokens=8)
+        assert m2 == m                      # counts unchanged
+        assert not _os.path.exists(stray)   # stale file purged
+
     def test_final_order_deterministic(self, run, tmp_path):
         out, m = run
         a = pq.read_table(os.path.join(out, "order", "documents.parquet")) \
