@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": lib.customer_order_counts,
         "user_order_activity": lib.user_order_activity,
         "customer_balance_ntile": lib.customer_balance_ntile,
+        "funnel_counts": lib.funnel_counts,
         "order_rank_in_customer": lib.order_rank_in_customer,
         "event_type_pivot": lib.event_type_pivot,
         "revenue_rollup": lib.revenue_rollup,

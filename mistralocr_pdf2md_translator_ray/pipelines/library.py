@@ -2370,6 +2370,85 @@ def approx_top_users(sf_dir: str, k: int = 10, m: int = 256,
     }))
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, steps: tuple = FUNNEL_STEPS,
+                  num_buckets: int = 32) -> "rd.Dataset":
+    """Ordered funnel analysis: how many users completed step k of the
+    chain view -> click -> purchase, where each step must occur
+    STRICTLY AFTER the user's earliest completion of the previous step
+    (the greedy earliest-completion semantics every funnel product
+    uses — order matters, a purchase before the first view doesn't
+    count).
+
+    Shape: events bucket once by user hash; inside a bucket each step
+    is ONE vectorized round (filter to the step's type, left-merge the
+    previous step's completion time per user, keep rows after it,
+    groupby-min) — k steps cost k vectorized passes over the bucket,
+    never a per-user UDF. Only (user, t_k) frontiers leave the bucket
+    task; the final reduce is len() per step. Rows-only in the driver
+    window; exact DuckDB parity (chained JOIN/min CTEs) pinned in
+    ``TestFunnel``."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(steps)].copy()
+        df["b"] = bucket_ids_np(df["user_id"].to_numpy(), num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        frontier = None  # DataFrame(user_id, t) of users at prior depth
+        out_steps, out_counts = [], []
+        for depth, et in enumerate(steps, start=1):
+            sub = g[g["event_type"] == et]
+            if frontier is None:
+                cur = sub.groupby("user_id", as_index=False).agg(
+                    t=("ts", "min"))
+            else:
+                m = sub.merge(frontier, on="user_id", how="inner")
+                m = m[m["ts"] > m["t"]]
+                cur = m.groupby("user_id", as_index=False).agg(
+                    t=("ts", "min"))
+            out_steps.append(depth)
+            out_counts.append(len(cur))
+            frontier = cur
+        return pd.DataFrame({"step": pd.Series(out_steps, dtype="int64"),
+                             "n_users": pd.Series(out_counts,
+                                                  dtype="int64")})
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pandas", batch_size=262144)
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("step", as_index=False).agg(
+            n_users=("n_users", "sum")).sort_values("step")
+        return out.astype({"step": "int64", "n_users": "int64"})
+
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None)
+
+
+FUNNEL_COUNTS_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM c
+  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM p
+) ORDER BY step
+"""
+
+
 def customer_balance_ntile(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
     """Exact global NTILE(tiles) OVER (ORDER BY c_acctbal, c_custkey) —
     global ranking WITHOUT a global sort. A naive implementation sorts

@@ -488,6 +488,58 @@ class TestShuffleDocuments:
             int(np.uint64(13679457532755275413))
 
 
+class TestFunnel:
+    """funnel_counts: exact DuckDB parity (rows-only in the driver
+    window) and ordered-semantics pinning on a planted table."""
+
+    def test_matches_duckdb(self, ddb, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            FUNNEL_COUNTS_SQL,
+            funnel_counts,
+        )
+
+        got = funnel_counts(SF_DIR).to_pandas().reset_index(drop=True)
+        exp = ddb.sql(FUNNEL_COUNTS_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=True)
+        assert got.loc[0, "n_users"] >= got.loc[1, "n_users"] >= \
+            got.loc[2, "n_users"]  # funnels only narrow
+
+    def test_order_matters(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            funnel_counts,
+        )
+
+        def ts(s):
+            return np.datetime64(f"2024-01-01T00:00:0{s}", "us")
+
+        rows = [
+            # user 1: full ordered funnel
+            (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+            # user 2: purchase BEFORE the view -> stops at depth 2
+            (2, ts(1), "purchase"), (2, ts(2), "view"), (2, ts(3), "click"),
+            # user 3: click only -> never enters the funnel
+            (3, ts(1), "click"),
+            # user 4: click at the SAME instant as view -> strict '>'
+            (4, ts(1), "view"), (4, ts(1), "click"),
+        ]
+        d = tmp_path / "funnel"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }), str(d / "events.parquet"))
+        got = funnel_counts(str(d)).to_pandas().set_index("step")["n_users"]
+        assert got[1] == 3   # users 1, 2, 4 viewed
+        assert got[2] == 2   # users 1, 2 clicked after their view
+        assert got[3] == 1   # only user 1 purchased after the click
+
+
 class TestNtile:
     """customer_balance_ntile: exact global NTILE without a global sort
     (boundary selection via histogram narrowing + custkey tie
