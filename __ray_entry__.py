@@ -135,6 +135,7 @@ def _curate_corpus_query(sf_dir: str) -> Any:
     import tempfile
 
     import pandas as pd
+    import ray.data as rd
 
     from mistralocr_pdf2md_translator_ray.pipelines.curate import curate_corpus
 
@@ -142,7 +143,9 @@ def _curate_corpus_query(sf_dir: str) -> Any:
         tempfile.gettempdir(),
         f"graft_curate_{os.path.basename(os.path.normpath(sf_dir))}")
     shutil.rmtree(out, ignore_errors=True)  # fresh run each invocation
-    return pd.DataFrame([curate_corpus(sf_dir, out)])
+    # Dataset result like every other queries() entry (the driver's
+    # rows-only check consumes Dataset APIs)
+    return rd.from_pandas(pd.DataFrame([curate_corpus(sf_dir, out)]))
 
 
 def _neardup_images_query(sf_dir: str) -> Any:

@@ -45,14 +45,14 @@ def _mark(d: str, meta: dict) -> None:
         json.dump(meta, f)
 
 
-def _write_documents(ds: "rd.Dataset", d: str) -> int:
-    """Distributed write of a documents.parquet layout: a DIRECTORY
-    named documents.parquet (Ray writes one file per block — no driver
-    funnel, resumable-output shape). Every downstream consumer reads it
-    through rd.read_parquet or pq.read_table(filters=...), both of
-    which take directories. Row count comes from the written footers,
-    not a re-execution."""
-    target = os.path.join(d, "documents.parquet")
+def _write_documents(ds: "rd.Dataset", d: str,
+                     filename: str = "documents.parquet") -> int:
+    """Distributed write of a parquet-directory layout (Ray writes one
+    file per block — no driver funnel, resumable-output shape). Every
+    downstream consumer reads it through rd.read_parquet or
+    pq.read_table(filters=...), both of which take directories. Row
+    count comes from the written footers, not a re-execution."""
+    target = os.path.join(d, filename)
     # crash healing: a stage dir without _SUCCESS may hold a partial
     # previous write — clear it so stale files can't mix into this
     # write's footer count (same discipline as checkpoint partition
@@ -134,16 +134,9 @@ def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
     if not _done(d4):
         shuffled = lib.shuffle_documents(d3, seed=seed)
         n = _write_documents(shuffled, d4)
-        ptarget = os.path.join(d4, "packing.parquet")
-        if os.path.exists(ptarget):
-            import shutil
-
-            shutil.rmtree(ptarget)
-        os.makedirs(ptarget, exist_ok=True)
-        lib.pack_documents(d3, seq_tokens=seq_tokens).write_parquet(ptarget)
-        n_seq = sum(
-            pq.ParquetFile(os.path.join(ptarget, f)).metadata.num_rows
-            for f in os.listdir(ptarget) if f.endswith(".parquet"))
+        n_seq = _write_documents(
+            lib.pack_documents(d3, seq_tokens=seq_tokens), d4,
+            filename="packing.parquet")
         _mark(d4, {"rows": n, "sequences": n_seq})
     meta4 = json.load(open(os.path.join(d4, _SUCCESS), encoding="utf-8"))
     manifest["order"] = meta4["rows"]

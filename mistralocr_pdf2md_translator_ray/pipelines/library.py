@@ -2423,7 +2423,26 @@ def funnel_counts(sf_dir: str, steps: tuple = FUNNEL_STEPS,
         .map_groups(per_bucket, batch_format="pandas")
     )
 
+    # zero-seed union: with zero matching events the grouped reduce
+    # emits NO blocks at all (the combine UDF would never run and the
+    # query would return 0 rows, diverging from the SQL oracle's one
+    # zero-count row per step) — the seed guarantees every step reaches
+    # the combiner
+    # pandas-backed to match the map_groups blocks — the repartition
+    # shuffle reduce refuses mixed Arrow/pandas block types in a union
+    seed_df = pd.DataFrame({
+        "step": pd.Series(range(1, len(steps) + 1), dtype="int64"),
+        "n_users": pd.Series([0] * len(steps), dtype="int64"),
+    })
+    partials = partials.union(rd.from_pandas(seed_df))
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # schema guard: empty upstream blocks can arrive schema-less
+        # (same effect _ensure_pair_schema covers in dedup)
+        df = df[[c for c in ("step", "n_users") if c in df.columns]]
+        if df.empty or "step" not in df.columns:
+            return pd.DataFrame({"step": pd.Series([], dtype="int64"),
+                                 "n_users": pd.Series([], dtype="int64")})
         out = df.groupby("step", as_index=False).agg(
             n_users=("n_users", "sum")).sort_values("step")
         return out.astype({"step": "int64", "n_users": "int64"})

@@ -59,7 +59,7 @@ def _union_find(n_pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Min-label union-find over verified pairs -> {doc_id: root}.
 
     Pure function; in production it runs INSIDE a Ray task
-    (``_union_find_removed``), never on the driver."""
+    (``_union_find_labels``), never on the driver."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -90,20 +90,25 @@ assert 2 * _UNION_FIND_MAX_PAIRS <= _BROADCAST_REMOVED_MAX
 
 
 @ray.remote
-def _union_find_removed(*blocks: pa.Table) -> pa.Table:
-    """Union-find over pair blocks, run as ONE Ray task: the pair blocks
-    arrive by ObjectRef (zero driver involvement) and only the removed
-    doc_ids leave. Gated by _UNION_FIND_MAX_PAIRS, so the task heap is
-    bounded by the constant, not the corpus."""
+def _union_find_labels(*blocks: pa.Table) -> pa.Table:
+    """Union-find over pair blocks, run as ONE Ray task: the pair
+    blocks arrive by ObjectRef (zero driver involvement) and only the
+    (doc_id, cluster_id) root map leaves (roots map to themselves,
+    rows sorted by doc_id). Gated by _UNION_FIND_MAX_PAIRS, so the
+    task heap is bounded by the constant, not the corpus. Removal is a
+    FILTER of this view (doc_id != cluster_id) — one remote serves
+    both the assignment and removal paths."""
     pairs: list[tuple[int, int]] = []
     for t in blocks:
         if t.num_rows == 0 or "a" not in t.column_names:
             continue
         pairs.extend(zip(t["a"].to_numpy().tolist(), t["b"].to_numpy().tolist()))
     roots = _union_find(pairs)
-    removed = np.fromiter(
-        sorted(d for d, r in roots.items() if r != d), dtype=np.int64)
-    return pa.table({"doc_id": pa.array(removed, pa.int64())})
+    items = sorted(roots.items())
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in items], pa.int64()),
+        "cluster_id": pa.array([r for _, r in items], pa.int64()),
+    })
 
 
 def _labels_ds_by_propagation(pairs: "rd.Dataset",
@@ -209,24 +214,6 @@ def _labels_ds_by_propagation(pairs: "rd.Dataset",
         )
 
     return labels
-
-
-@ray.remote
-def _union_find_labels(*blocks: pa.Table) -> pa.Table:
-    """Union-find over pair blocks -> the FULL (doc_id, cluster_id)
-    root map (roots map to themselves), run as one bounded Ray task —
-    same gating contract as _union_find_removed."""
-    pairs: list[tuple[int, int]] = []
-    for t in blocks:
-        if t.num_rows == 0 or "a" not in t.column_names:
-            continue
-        pairs.extend(zip(t["a"].to_numpy().tolist(), t["b"].to_numpy().tolist()))
-    roots = _union_find(pairs)
-    items = sorted(roots.items())
-    return pa.table({
-        "doc_id": pa.array([d for d, _ in items], pa.int64()),
-        "cluster_id": pa.array([r for _, r in items], pa.int64()),
-    })
 
 
 def cluster_labels(pairs: "rd.Dataset") -> "rd.Dataset":
@@ -335,8 +322,12 @@ def _keep_after_pairs(docs: "rd.Dataset", pairs: "rd.Dataset") -> "rd.Dataset":
         # unconditionally — fetch the single bounded result table
         # straight to the driver instead of spending a Dataset
         # execution round trip on wrap+materialize+count
-        tbl = ray.get(_union_find_removed.remote(*pairs.to_arrow_refs()))
-        # _union_find_removed builds its column via sorted(); np.isin
+        lbl = ray.get(_union_find_labels.remote(*pairs.to_arrow_refs()))
+        # removal = the labels view filtered to non-roots
+        import pyarrow.compute as _pc
+
+        tbl = lbl.filter(_pc.not_equal(lbl["doc_id"], lbl["cluster_id"]))
+        # _union_find_labels sorts by doc_id; np.isin
         # in the filter is order-insensitive anyway — no re-sort
         return broadcast_filter(tbl["doc_id"].to_numpy().astype(np.int64))
 
@@ -544,9 +535,12 @@ def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
 
 # ---------------------------------------------------------------------------
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> "rd.Dataset":
-    """MinHash(128) + LSH(16 bands): char-5-shingle near-dup removal.
-    Returns the kept doc_ids."""
+def _minhash_verified_pairs(sf_dir: str, threshold: float,
+                            seed: int) -> tuple["rd.Dataset", "rd.Dataset"]:
+    """Shared MinHash(128)+LSH(16) candidate generation + exact-Jaccard
+    verification: (docs, verified_pairs). dedup_minhash (removal view)
+    and neardup_clusters (assignment view) consume the SAME pipeline so
+    their pytest-pinned consistency can't drift."""
     docs = _read_docs(sf_dir)
 
     def sketch(t: pa.Table) -> pa.Table:
@@ -564,35 +558,26 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> "rd.Da
     verified = _verify_jaccard_ds(
         os.path.join(sf_dir, "documents.parquet"), pairs, char_shingles,
         threshold, n_upper=n_raw)
+    return docs, verified
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> "rd.Dataset":
+    """MinHash(128) + LSH(16 bands): char-5-shingle near-dup removal.
+    Returns the kept doc_ids."""
+    docs, verified = _minhash_verified_pairs(sf_dir, threshold, seed)
     return _keep_after_pairs(docs, verified)
 
 
 def neardup_clusters(sf_dir: str, threshold: float = 0.8,
                      seed: int = 42) -> "rd.Dataset":
-    """Cluster-assignment view of dedup_minhash: the same MinHash/LSH
-    candidate generation and exact-Jaccard verification, but returning
-    (doc_id, cluster_id) for every clustered document instead of the
-    kept set — what canonical-document selection and cluster-size
-    audits consume. Singleton documents (no verified pair) are absent
-    by contract. Consistency with dedup_minhash is pytest-pinned:
-    removed == clustered minus the cluster minima."""
-    docs = _read_docs(sf_dir)
-
-    def sketch(t: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(char_shingles(text), _N_PERM, seed)
-            for i, bh in enumerate(band_hashes(sig, _BANDS)):
-                ids.append(d)
-                keys.append(f"{i}:{bh:x}")
-        return pa.table({"band_key": pa.array(keys, pa.string()),
-                         "doc_id": pa.array(ids, pa.int64())})
-
-    buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
-    pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
-    verified = _verify_jaccard_ds(
-        os.path.join(sf_dir, "documents.parquet"), pairs, char_shingles,
-        threshold, n_upper=n_raw)
+    """Cluster-assignment view of dedup_minhash: the SAME pipeline
+    (shared `_minhash_verified_pairs`), but returning (doc_id,
+    cluster_id) for every clustered document instead of the kept set —
+    what canonical-document selection and cluster-size audits consume.
+    Singleton documents (no verified pair) are absent by contract.
+    Consistency with dedup_minhash is pytest-pinned: removed ==
+    clustered minus the cluster minima."""
+    _docs, verified = _minhash_verified_pairs(sf_dir, threshold, seed)
     return cluster_labels(verified)
 
 

@@ -108,7 +108,7 @@ class PayloadFeatureActor:
                 feats.append(np.round(decoded @ self._proj, 6).tolist())
                 sizes.append(len(blob) if blob is not None else 0)
                 statuses.append("ok")
-            except (NotImplementedError, PngError) as e:
+            except (NotImplementedError, PngError, OSError, ValueError) as e:
                 feats.append([0.0] * FEATURE_DIM)
                 sizes.append(len(blob) if blob is not None else 0)
                 statuses.append(f"error: {e}")
@@ -184,7 +184,7 @@ class ImageResizeActor:
             try:
                 out_blobs.append(self._resize(bytes(blob) if blob else b""))
                 statuses.append("ok")
-            except (NotImplementedError, PngError) as e:
+            except (NotImplementedError, PngError, OSError, ValueError) as e:
                 out_blobs.append(b"")
                 statuses.append(f"error: {e}")
         return pa.table({
@@ -303,8 +303,7 @@ class PayloadDHashActor:
 
     def __init__(self, fake: bool | None = None) -> None:
         self._codec = None if fake is True else probe_image_codec()
-        self._fake = (self._codec is None) if fake is None else fake
-        self._mode = fake
+        self._mode = fake  # None=auto, True=force fake, False=demand real
 
     def _hash(self, blob: bytes) -> int:
         from ..functions.png import dhash64
@@ -337,7 +336,7 @@ class PayloadDHashActor:
             try:
                 h = self._hash(bytes(blob) if blob is not None else b"")
                 statuses.append("ok")
-            except (NotImplementedError, PngError) as e:
+            except (NotImplementedError, PngError, OSError, ValueError) as e:
                 h = 0
                 statuses.append(f"error: {e}")
             hashes.append(h)

@@ -505,6 +505,29 @@ class TestFunnel:
         assert got.loc[0, "n_users"] >= got.loc[1, "n_users"] >= \
             got.loc[2, "n_users"]  # funnels only narrow
 
+    def test_no_matching_events_zero_fills(self, tmp_path, ray_session):
+        """Zero funnel-step events: the SQL oracle returns one row per
+        step with n_users = 0; the grouped reduce would emit no blocks
+        at all without the zero-seed union."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            funnel_counts,
+        )
+
+        d = tmp_path / "nofunnel"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([np.datetime64("2024-01-01", "us")],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["signup"], pa.string()),
+        }), str(d / "events.parquet"))
+        got = funnel_counts(str(d)).to_pandas()
+        assert got["step"].tolist() == [1, 2, 3]
+        assert got["n_users"].tolist() == [0, 0, 0]
+
     def test_order_matters(self, tmp_path, ray_session):
         import pyarrow as pa
         import pyarrow.parquet as pq2
