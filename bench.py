@@ -256,6 +256,9 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
     timed("sample_weighted", lambda: lib.sample_weighted(SF_DIR))
     timed("user_order_activity", lambda: lib.user_order_activity(SF_DIR))
     timed("tfidf_top_terms", lambda: lib.tfidf_top_terms(SF_DIR))
+    timed("customer_balance_ntile",
+          lambda: lib.customer_balance_ntile(SF_DIR))
+    timed("funnel_counts", lambda: lib.funnel_counts(SF_DIR))
 
     from mistralocr_pdf2md_translator_ray.stages.textstats import (
         redact_documents,
