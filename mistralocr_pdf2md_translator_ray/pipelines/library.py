@@ -2640,16 +2640,25 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
     parquet FOOTER, no scan). Terms with df < min_df are dropped
     (hapax noise). Ties break (score desc, token asc) — deterministic.
 
-    Shape: one explode pass emits (doc_id, token, tf); rows bucket by
-    token hash, and because EVERY row of a token lands in its bucket,
-    df is derived bucket-locally (one vectorized value_counts) — the
-    "vocabulary join" costs no second stream, no broadcast, and no
-    double consumption of the explode. A doc_id-bucketed top-k prune
-    follows. Token-level bytes cross two bucketed shuffles; raw text
-    never does. Rows-only (ln() dialect risk) — the pure-function
-    reference in pytest pins exact equality."""
+    Shape (stopword-skew-safe): one explode pass emits (doc_id, token,
+    tf), materialized once (it feeds two rounds).
+    Round A builds the df table from PER-BATCH partials — a token
+    contributes at most one row per input batch to the df shuffle, so
+    a stopword present in every document cannot concentrate its
+    occurrences in one bucket; min_df prunes hapax tokens here, before
+    anything replicates.
+    Round B scores: tf rows co-group with the df table on a SALTED
+    key (token, doc_id % salts) — the hot token's rows split across
+    ``salts`` buckets, and only the df table (one small row per
+    surviving token) replicates x salts to meet them. Round C is the
+    doc_id-bucketed top-k. Raw text never shuffles. Rows-only (ln()
+    dialect risk) — the pure-function reference in pytest pins exact
+    equality, including a planted every-doc stopword corpus."""
     import pyarrow.parquet as _pq_meta
 
+    from ..stages.joins import cogroup
+
+    salts = 8
     n_docs = _pq_meta.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -2663,36 +2672,81 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
             doc_ids.extend([doc_id] * len(vc))
             toks.extend(vc.index.tolist())
             tfs.extend(vc.to_numpy().tolist())
-        out = pd.DataFrame({
+        return pd.DataFrame({
             "doc_id": pd.Series(doc_ids, dtype="int64"),
             "token": pd.Series(toks, dtype="object"),
             "tf": pd.Series(tfs, dtype="int64"),
         })
+
+    tf_rows = ds.map_batches(explode_tf, batch_format="pandas",
+                             batch_size=4096).materialize()
+
+    # ---- round A: df table (skew-free partial aggregation) ----------
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False).size()
+        out = pd.DataFrame({"token": out["token"],
+                            "pdf": out["size"].astype("int64")})
         out["tb"] = bucket_ids_np(out["token"].to_numpy(), num_buckets)
         return out
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # df = rows per token (one row per (doc, token) by construction)
-        dfs = g["token"].value_counts()
-        keep_tokens = dfs[dfs >= min_df]
-        m = g[g["token"].isin(keep_tokens.index)]
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False).agg(df_n=("pdf", "sum"))
+        out = out[out["df_n"] >= min_df]
+        return out.astype({"df_n": "int64"})
+
+    from ..stages.joins import coalesce_blocks
+
+    df_table = (
+        tf_rows.map_batches(df_partial, batch_format="pandas",
+                            batch_size=65536)
+        .repartition(coalesce_blocks())
+        .groupby("tb")
+        .map_groups(df_combine, batch_format="pandas")
+    )
+
+    # ---- round B: salted score join ----------------------------------
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ks"] = df["token"].astype(str) + "#" + \
+            (df["doc_id"] % salts).astype(str)
+        return df[["ks", "doc_id", "token", "tf"]]
+
+    def replicate_df(df: pd.DataFrame) -> pd.DataFrame:
+        reps = []
+        for s in range(salts):
+            r = df[["token", "df_n"]].copy()
+            r["ks"] = r["token"].astype(str) + "#" + str(s)
+            reps.append(r)
+        return pd.concat(reps, ignore_index=True)[["ks", "token", "df_n"]]
+
+    def join_score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        m = ldf.merge(rdf[["token", "df_n"]].drop_duplicates("token"),
+                      on="token", how="inner")
         if m.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "token": pd.Series([], dtype="object"),
                                  "tfidf": pd.Series([], dtype="float64")})
-        df_n = keep_tokens.reindex(m["token"]).to_numpy().astype(np.float64)
-        score = m["tf"].to_numpy() * np.log(n_docs / df_n)
+        score = m["tf"].to_numpy() * np.log(
+            n_docs / m["df_n"].to_numpy().astype(np.float64))
         return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
                              "token": m["token"],
                              "tfidf": score})
 
-    from ..stages.joins import coalesce_blocks
-
-    scored = (
-        ds.map_batches(explode_tf, batch_format="pandas", batch_size=4096)
-        .repartition(coalesce_blocks())
-        .groupby("tb")
-        .map_groups(score_bucket, batch_format="pandas")
+    scored = cogroup(
+        tf_rows.map_batches(add_salt, batch_format="pandas",
+                            batch_size=65536),
+        df_table.map_batches(replicate_df, batch_format="pandas",
+                             batch_size=65536),
+        on=["ks"],
+        merge_fn=join_score,
+        left_schema=pa.schema([("ks", pa.string()),
+                               ("doc_id", pa.int64()),
+                               ("token", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("ks", pa.string()),
+                                ("token", pa.string()),
+                                ("df_n", pa.int64())]),
+        num_buckets=num_buckets,
     )
 
     def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:

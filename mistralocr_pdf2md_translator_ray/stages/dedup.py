@@ -727,14 +727,20 @@ def dedup_spans(sf_dir: str, span_tokens: int = 16,
     single spaces (training normalization, same contract as
     chunk_documents).
 
-    Scale shape: two bucketed all-to-alls, both over the corpus bytes
-    ONCE — (1) spans bucket by 128-bit content hash, each bucket keeps
-    first-per-hash with one vectorized sort+drop_duplicates; (2) kept
-    spans co-group with the (doc_id, n_spans) universe by doc_id for
-    ordered reassembly (the universe side guarantees fully-deduped
-    documents still emit an empty row). No driver state, no per-group
-    Python loops, hot hashes cannot skew (a duplicate hash's rows all
-    carry identical text; first-wins needs only the bucket-local sort).
+    Scale shape: two bucketed all-to-alls — (1) spans bucket by 128-bit
+    content hash, each bucket keeps first-per-hash with one vectorized
+    sort+drop_duplicates; (2) kept spans co-group with the (doc_id,
+    n_spans) universe by doc_id for ordered reassembly (the universe
+    side guarantees fully-deduped documents still emit an empty row).
+    No driver state, no per-group Python loops.
+
+    Hot-hash skew guard: the explode pass pre-combines BATCH-LOCALLY to
+    one candidate per hash (min (doc_id, span_idx)) before the shuffle.
+    This is lossless — only a batch's minimum occurrence can ever be
+    the global first, and every non-winning occurrence is dropped from
+    the output by construction (kept spans ARE the reassembled text) —
+    and it bounds a boilerplate span that appears in half the corpus to
+    ONE shuffled row per input batch instead of one per occurrence.
     """
     from .joins import cogroup
     from ..functions.hashing import bucket_ids
@@ -753,12 +759,17 @@ def dedup_spans(sf_dir: str, span_tokens: int = 16,
                 idxs.append(i // span_tokens)
                 hashes.append(content_hash(s))
                 spans.append(s)
-        out = pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "span_idx": pa.array(idxs, pa.int64()),
-            "h": pa.array(hashes, pa.string()),
-            "span": pa.array(spans, pa.string()),
+        df = pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "span_idx": pd.Series(idxs, dtype="int64"),
+            "h": pd.Series(hashes, dtype="object"),
+            "span": pd.Series(spans, dtype="object"),
         })
+        # batch-local map-side combine (see docstring: lossless, and
+        # the hot-hash skew guard): one min-candidate per hash
+        df = df.sort_values(["h", "doc_id", "span_idx"], kind="mergesort") \
+            .drop_duplicates("h", keep="first")
+        out = pa.Table.from_pandas(df, preserve_index=False)
         return out.append_column("hb", bucket_ids(out["h"], num_buckets))
 
     def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:

@@ -850,6 +850,33 @@ class TestDedupSpansProperty:
                         r["n_spans_dropped"]) == exp, (trial, w, doc_id)
 
 
+    def test_hot_span_skew(self, tmp_path, ray_session):
+        """A boilerplate span present in EVERY document (the hot-hash
+        regime the batch-local pre-combine exists for): result must
+        still match the global-seen-set reference exactly."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_spans
+
+        w = 4
+        boiler = "all rights reserved legal"  # exactly one w-token span
+        docs = []
+        for i in range(40):
+            uniq = f"u{i}a u{i}b u{i}c u{i}d"
+            docs.append((i, f"{boiler} {uniq} {boiler}"))
+        d = tmp_path / "hot"
+        d.mkdir()
+        self._write(str(d), docs)
+        got = {r["doc_id"]: r
+               for r in dedup_spans(str(d), span_tokens=w).take_all()}
+        ref = TestDedupSpans._reference(docs, w)
+        for doc_id, exp in ref.items():
+            r = got[doc_id]
+            assert (r["text_deduped"], r["n_spans_kept"],
+                    r["n_spans_dropped"]) == exp, doc_id
+        # doc 0 keeps one boiler copy; every other doc drops both
+        assert got[0]["n_spans_dropped"] == 1
+        assert all(got[i]["n_spans_dropped"] == 2 for i in range(1, 40))
+
+
 class TestNeardupClusters:
     """cluster_labels (the assignment view): union-find parity on both
     adaptive paths, and consistency with dedup_minhash's kept set."""

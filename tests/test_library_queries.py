@@ -732,6 +732,39 @@ class TestTfidfTopTerms:
             for (_, a), (_, b) in zip(grouped[d], ref[d]):
                 assert a == pytest.approx(b, rel=1e-12), d
 
+    def test_hot_stopword_corpus(self, tmp_path, ray_session):
+        """Every document contains 'the' many times (the stopword-skew
+        regime the salted round-B exists for): exact reference parity
+        must hold, and the stopword's near-zero idf keeps it out of
+        the top terms of docs with any distinctive shared vocabulary."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            tfidf_top_terms,
+        )
+
+        d = tmp_path / "hotword"
+        d.mkdir()
+        n = 60
+        texts = [f"the the the the shared{i % 3} shared{i % 3} only{i}"
+                 for i in range(n)]
+        pq2.write_table(pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": texts,
+        }), str(d / "documents.parquet"))
+        got = tfidf_top_terms(str(d), k=2, min_df=2).to_pandas()
+        ref = self._reference(list(zip(range(n), texts)), k=2, min_df=2)
+        grouped = {doc: [(r["token"], r["tfidf"])
+                         for _, r in g.sort_values("rank").iterrows()]
+                   for doc, g in got.groupby("doc_id")}
+        assert set(grouped) == set(ref)
+        for doc in ref:
+            assert [t for t, _ in grouped[doc]] == \
+                [t for t, _ in ref[doc]], doc
+        # 'the' appears in every doc -> idf ln(1) = 0 -> never rank 1
+        assert all(v[0][0] != "the" for v in grouped.values())
+
     def test_min_df_and_ties(self, tmp_path, ray_session):
         import pyarrow as pa
         import pyarrow.parquet as pq2
