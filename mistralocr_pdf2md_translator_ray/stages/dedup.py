@@ -604,6 +604,40 @@ def dedup_ngram(sf_dir: str, threshold: float = 0.7, seed: int = 7) -> "rd.Datas
     return _keep_after_pairs(docs, verified)
 
 
+def _hamming_component_pairs(sub: pd.DataFrame, max_hamming: int,
+                             hash_col: str = "simhash"):
+    """Connectivity-equivalent verified pairs for a band bucket of
+    (doc_id, 64-bit hash) rows — O(n + |U|^2) instead of the naive
+    O(n^2), where U is the bucket's set of DISTINCT hash values.
+
+    Sound because these pairs feed CLUSTERING only (connected
+    components), and the hash IS the verified quantity: members
+    sharing a hash are connected by a star to their minimum id, and
+    two identical-hash groups within Hamming range need exactly one
+    representative-representative edge to merge their components. An
+    exact-duplicate-heavy corpus (the common web case: one page
+    mirrored a million times) yields one n-member star per bucket,
+    not n^2/2 pairs."""
+    rows = sorted(set(zip((int(x) for x in sub["doc_id"]),
+                          (int(h) for h in sub[hash_col]))))
+    groups: dict[int, list[int]] = {}
+    for d, h in rows:
+        groups.setdefault(h, []).append(d)
+    reps = {h: min(ds) for h, ds in groups.items()}
+    for h, ds in groups.items():
+        rep = reps[h]
+        for d in ds:
+            if d != rep:
+                yield rep, d
+    uniq = sorted(groups)
+    for i in range(len(uniq)):
+        ha = int(np.int64(uniq[i]).astype(np.uint64))
+        for j in range(i + 1, len(uniq)):
+            hb = int(np.int64(uniq[j]).astype(np.uint64))
+            if hamming64(ha, hb) <= max_hamming:
+                yield reps[uniq[i]], reps[uniq[j]]
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
     """SimHash(64) near-dup removal with band blocking. The band count
     is DERIVED from the verification threshold (bands = max_hamming+1)
@@ -634,16 +668,10 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
     buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
 
     def hamming_pairs(sub: pd.DataFrame):
-        # verification happens inline (the sketch IS the full signature),
-        # so the pair Dataset is already verified
-        rows = sorted(set(zip((int(x) for x in sub["doc_id"]),
-                              (int(h) for h in sub["simhash"]))))
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ha = int(np.int64(rows[i][1]).astype(np.uint64))
-                hb = int(np.int64(rows[j][1]).astype(np.uint64))
-                if rows[i][0] != rows[j][0] and hamming64(ha, hb) <= max_hamming:
-                    yield rows[i][0], rows[j][0]
+        # verification happens inline (the sketch IS the full
+        # signature); star + representative edges keep components
+        # identical at O(n + |U|^2) per bucket (_hamming_component_pairs)
+        yield from _hamming_component_pairs(sub, max_hamming)
 
     verified, _n_raw = _pairs_dataset(buckets, hamming_pairs)
     return _keep_after_pairs(docs, verified)

@@ -377,8 +377,12 @@ def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
     co-group maps kept vec_ids back to payload keys. Error rows (hash
     0) are excluded from banding so they can never cluster together.
     Returns kept (conv_id, turn_idx, payload_id, dhash)."""
-    from ..functions.dedup import hamming64, simhash_bands
-    from .dedup import _keep_after_pairs, _pairs_dataset
+    from ..functions.dedup import simhash_bands
+    from .dedup import (
+        _hamming_component_pairs,
+        _keep_after_pairs,
+        _pairs_dataset,
+    )
     from .joins import cogroup
 
     if not 0 <= max_hamming <= 63:
@@ -410,15 +414,10 @@ def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
                                  batch_size=4096)
 
     def hamming_pairs(sub: pd.DataFrame):
-        rows = sorted(set(zip((int(x) for x in sub["doc_id"]),
-                              (int(h) for h in sub["simhash"]))))
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                ha = int(np.int64(rows[i][1]).astype(np.uint64))
-                hb = int(np.int64(rows[j][1]).astype(np.uint64))
-                if rows[i][0] != rows[j][0] and \
-                        hamming64(ha, hb) <= max_hamming:
-                    yield rows[i][0], rows[j][0]
+        # star + representative edges: components identical to the
+        # naive all-pairs at O(n + |U|^2) per bucket — a mirrored image
+        # repeated a million times yields one star, not n^2/2 pairs
+        yield from _hamming_component_pairs(sub, max_hamming)
 
     verified, _n_raw = _pairs_dataset(buckets, hamming_pairs)
     ids_only = hashed.map_batches(
