@@ -2630,7 +2630,8 @@ def customer_balance_ntile(sf_dir: str, tiles: int = 4) -> "rd.Dataset":
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
-                    num_buckets: int = 32) -> "rd.Dataset":
+                    num_buckets: int = 32,
+                    salted_min_rows: int = 1_000_000) -> "rd.Dataset":
     """Per-document top-k TF-IDF terms — the corpus-statistics join
     shape (a VOCABULARY-scale small side, too big to broadcast at
     100 TB, co-partitioned by token instead).
@@ -2640,20 +2641,27 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
     parquet FOOTER, no scan). Terms with df < min_df are dropped
     (hapax noise). Ties break (score desc, token asc) — deterministic.
 
-    Shape (stopword-skew-safe): one explode pass emits (doc_id, token,
-    tf), materialized once (it feeds two rounds).
-    Round A builds the df table from PER-BATCH partials — a token
-    contributes at most one row per input batch to the df shuffle, so
-    a stopword present in every document cannot concentrate its
-    occurrences in one bucket; min_df prunes hapax tokens here, before
-    anything replicates.
-    Round B scores: tf rows co-group with the df table on a SALTED
-    key (token, doc_id % salts) — the hot token's rows split across
-    ``salts`` buckets, and only the df table (one small row per
-    surviving token) replicates x salts to meet them. Round C is the
-    doc_id-bucketed top-k. Raw text never shuffles. Rows-only (ln()
-    dialect risk) — the pure-function reference in pytest pins exact
-    equality, including a planted every-doc stopword corpus."""
+    ADAPTIVE on the parquet footer row count (the repo's standard
+    gate pattern — both paths equality-tested):
+
+    - small regime (footer rows <= ``salted_min_rows``): ONE token-
+      bucketed shuffle; every row of a token lands in its bucket, so
+      df derives bucket-locally. A hot stopword concentrates in one
+      bucket, but below the gate the whole corpus fits a few tasks
+      anyway — the single shuffle is strictly cheaper.
+    - at-scale regime (stopword-skew-safe): the explode materializes
+      once and feeds two rounds. Round A builds the df table from
+      PER-BATCH partials — a token contributes at most one row per
+      input batch to that shuffle, and min_df prunes hapax tokens
+      before anything replicates. Round B scores: tf rows co-group
+      with the df table on a SALTED (token, doc_id % salts) key — the
+      hot token's rows split across ``salts`` buckets, only the small
+      df row replicates x salts to meet them.
+
+    Both converge on the doc_id-bucketed top-k. Raw text never
+    shuffles. Rows-only (ln() dialect risk) — the pure-function
+    reference in pytest pins exact equality on BOTH paths, including a
+    planted every-doc stopword corpus."""
     import pyarrow.parquet as _pq_meta
 
     from ..stages.joins import cogroup
@@ -2678,6 +2686,42 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
             "tf": pd.Series(tfs, dtype="int64"),
         })
 
+    from ..stages.joins import coalesce_blocks
+
+    if n_docs <= salted_min_rows:
+        # ---- small regime: one token-bucketed shuffle ----------------
+        def explode_tb(df: pd.DataFrame) -> pd.DataFrame:
+            out = explode_tf(df)
+            out["tb"] = bucket_ids_np(out["token"].to_numpy(), num_buckets)
+            return out
+
+        def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # df = rows per token (one row per (doc, token))
+            dfs = g["token"].value_counts()
+            keep_tokens = dfs[dfs >= min_df]
+            m = g[g["token"].isin(keep_tokens.index)]
+            if m.empty:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "token": pd.Series([], dtype="object"),
+                    "tfidf": pd.Series([], dtype="float64")})
+            df_n = keep_tokens.reindex(m["token"]) \
+                .to_numpy().astype(np.float64)
+            score = m["tf"].to_numpy() * np.log(n_docs / df_n)
+            return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                                 "token": m["token"],
+                                 "tfidf": score})
+
+        scored = (
+            ds.map_batches(explode_tb, batch_format="pandas",
+                           batch_size=4096)
+            .repartition(coalesce_blocks())
+            .groupby("tb")
+            .map_groups(score_bucket, batch_format="pandas")
+        )
+        return _tfidf_topk(scored, k, num_buckets)
+
+    # ---- at-scale regime ------------------------------------------------
     tf_rows = ds.map_batches(explode_tf, batch_format="pandas",
                              batch_size=4096).materialize()
 
@@ -2693,8 +2737,6 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
         out = g.groupby("token", as_index=False).agg(df_n=("pdf", "sum"))
         out = out[out["df_n"] >= min_df]
         return out.astype({"df_n": "int64"})
-
-    from ..stages.joins import coalesce_blocks
 
     df_table = (
         tf_rows.map_batches(df_partial, batch_format="pandas",
@@ -2748,6 +2790,15 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
                                 ("df_n", pa.int64())]),
         num_buckets=num_buckets,
     )
+
+    return _tfidf_topk(scored, k, num_buckets)
+
+
+def _tfidf_topk(scored: "rd.Dataset", k: int,
+                num_buckets: int) -> "rd.Dataset":
+    """Shared round C: doc_id-bucketed per-document top-k with the
+    exact (score desc, token asc) tie-break — both tfidf regimes
+    converge here."""
 
     def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

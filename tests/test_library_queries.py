@@ -710,7 +710,9 @@ class TestTfidfTopTerms:
                 out[doc_id] = scored[:k]
         return out
 
-    def test_matches_reference(self, ray_session):
+    @pytest.mark.parametrize("salted_min_rows", [1_000_000, 0],
+                             ids=["small-path", "salted-path"])
+    def test_matches_reference(self, ray_session, salted_min_rows):
         from mistralocr_pdf2md_translator_ray.pipelines.library import (
             tfidf_top_terms,
         )
@@ -719,7 +721,8 @@ class TestTfidfTopTerms:
                               columns=["doc_id", "text"])
         ref = self._reference(
             list(zip(src["doc_id"], src["text"])), k=3, min_df=2)
-        got = tfidf_top_terms(SF_DIR, k=3, min_df=2).to_pandas()
+        got = tfidf_top_terms(SF_DIR, k=3, min_df=2,
+                              salted_min_rows=salted_min_rows).to_pandas()
         grouped = {d: [(r["token"], r["tfidf"])
                        for _, r in g.sort_values("rank").iterrows()]
                    for d, g in got.groupby("doc_id")}
@@ -753,7 +756,9 @@ class TestTfidfTopTerms:
             "doc_id": pa.array(np.arange(n), pa.int64()),
             "text": texts,
         }), str(d / "documents.parquet"))
-        got = tfidf_top_terms(str(d), k=2, min_df=2).to_pandas()
+        # force the salted regime — the one the hot token exists for
+        got = tfidf_top_terms(str(d), k=2, min_df=2,
+                              salted_min_rows=0).to_pandas()
         ref = self._reference(list(zip(range(n), texts)), k=2, min_df=2)
         grouped = {doc: [(r["token"], r["tfidf"])
                          for _, r in g.sort_values("rank").iterrows()]
