@@ -2389,7 +2389,14 @@ def funnel_counts(sf_dir: str, steps: tuple = FUNNEL_STEPS,
     never a per-user UDF. Only (user, t_k) frontiers leave the bucket
     task; the final reduce is len() per step. Rows-only in the driver
     window; exact DuckDB parity (chained JOIN/min CTEs) pinned in
-    ``TestFunnel``."""
+    ``TestFunnel``.
+
+    Partitioning assumption (same as sessionize_events): one USER's
+    funnel events fit a task — per-user event volume is bounded by
+    human activity, so user-hash buckets stay balanced. A synthetic
+    key with corpus-scale events per user would need the iterative
+    per-batch-minima variant (k rounds of partial-min combines)
+    instead of bucket residency."""
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
