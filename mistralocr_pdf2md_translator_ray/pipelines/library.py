@@ -2754,29 +2754,44 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
     )
 
     # ---- round B: salted score join ----------------------------------
+    # Both sides declare the FULL shared schema with explicit dummies
+    # (df_n=0 on tf rows, doc_id=-1/tf=0 on df rows): the co-group's
+    # union table then has NO nulls, so Ray's pandas block conversion
+    # can never coerce int64 doc_ids through float64 (which is lossy
+    # above 2^53 — exactly the sparse/hashed id regime this path
+    # exists for). The composite (token, salt) key hashes inside the
+    # cogroup without persisting a concatenated key column.
+    _b_schema = pa.schema([("token", pa.string()), ("salt", pa.int32()),
+                           ("doc_id", pa.int64()), ("tf", pa.int64()),
+                           ("df_n", pa.int64())])
+
     def add_salt(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["ks"] = df["token"].astype(str) + "#" + \
-            (df["doc_id"] % salts).astype(str)
-        return df[["ks", "doc_id", "token", "tf"]]
+        out = df.copy()
+        out["salt"] = (out["doc_id"] % salts).astype("int32")
+        out["df_n"] = np.int64(0)
+        return out[["token", "salt", "doc_id", "tf", "df_n"]]
 
     def replicate_df(df: pd.DataFrame) -> pd.DataFrame:
         reps = []
         for s in range(salts):
             r = df[["token", "df_n"]].copy()
-            r["ks"] = r["token"].astype(str) + "#" + str(s)
+            r["salt"] = np.int32(s)
+            r["doc_id"] = np.int64(-1)
+            r["tf"] = np.int64(0)
             reps.append(r)
-        return pd.concat(reps, ignore_index=True)[["ks", "token", "df_n"]]
+        return pd.concat(reps, ignore_index=True)[
+            ["token", "salt", "doc_id", "tf", "df_n"]]
 
     def join_score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        m = ldf.merge(rdf[["token", "df_n"]].drop_duplicates("token"),
+        m = ldf.merge(rdf[["token", "df_n"]].drop_duplicates("token")
+                      .rename(columns={"df_n": "df_total"}),
                       on="token", how="inner")
         if m.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "token": pd.Series([], dtype="object"),
                                  "tfidf": pd.Series([], dtype="float64")})
         score = m["tf"].to_numpy() * np.log(
-            n_docs / m["df_n"].to_numpy().astype(np.float64))
+            n_docs / m["df_total"].to_numpy().astype(np.float64))
         return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
                              "token": m["token"],
                              "tfidf": score})
@@ -2786,15 +2801,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
                             batch_size=65536),
         df_table.map_batches(replicate_df, batch_format="pandas",
                              batch_size=65536),
-        on=["ks"],
+        on=["token", "salt"],
         merge_fn=join_score,
-        left_schema=pa.schema([("ks", pa.string()),
-                               ("doc_id", pa.int64()),
-                               ("token", pa.string()),
-                               ("tf", pa.int64())]),
-        right_schema=pa.schema([("ks", pa.string()),
-                                ("token", pa.string()),
-                                ("df_n", pa.int64())]),
+        left_schema=_b_schema,
+        right_schema=_b_schema,
         num_buckets=num_buckets,
     )
 

@@ -797,7 +797,15 @@ def dedup_spans(sf_dir: str, span_tokens: int = 16,
         # the hot-hash skew guard): one min-candidate per hash
         df = df.sort_values(["h", "doc_id", "span_idx"], kind="mergesort") \
             .drop_duplicates("h", keep="first")
-        out = pa.Table.from_pandas(df, preserve_index=False)
+        # explicit schema: an all-empty-docs batch would otherwise emit
+        # h/span as Arrow 'null' type next to string blocks in the sort
+        # shuffle (the mismatch _ensure_pair_schema guards elsewhere)
+        out = pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "span_idx": pa.array(df["span_idx"].to_numpy(), pa.int64()),
+            "h": pa.array(df["h"].tolist(), pa.string()),
+            "span": pa.array(df["span"].tolist(), pa.string()),
+        })
         return out.append_column("hb", bucket_ids(out["h"], num_buckets))
 
     def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:

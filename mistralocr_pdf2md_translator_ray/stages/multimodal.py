@@ -103,15 +103,18 @@ class PayloadFeatureActor:
         blobs = batch["payload"].to_pylist()
         feats, sizes, statuses = [], [], []
         for blob in blobs:
+            sizes.append(len(blob) if blob is not None else 0)
+            # try scopes the DECODE only: a corrupt payload is data
+            # (error-as-value), but a projection shape bug must fail
+            # loudly, not silently zero every row
             try:
                 decoded = self._decode(bytes(blob) if blob is not None else b"")
-                feats.append(np.round(decoded @ self._proj, 6).tolist())
-                sizes.append(len(blob) if blob is not None else 0)
-                statuses.append("ok")
             except (NotImplementedError, PngError, OSError, ValueError) as e:
                 feats.append([0.0] * FEATURE_DIM)
-                sizes.append(len(blob) if blob is not None else 0)
                 statuses.append(f"error: {e}")
+                continue
+            feats.append(np.round(decoded @ self._proj, 6).tolist())
+            statuses.append("ok")
         return pa.table({
             "conv_id": batch["conv_id"],
             "turn_idx": batch["turn_idx"],

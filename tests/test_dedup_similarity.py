@@ -994,3 +994,26 @@ class TestHammingComponentPairs:
         # collapses into 0; the 1-word-changed doc 2 is >3 bits away
         # and survives (premise verified in TestDedupDetectors)
         assert kept == [0, 2, 3, 4]
+
+
+class TestDedupSpansEmptyDocs:
+    def test_all_empty_docs_schema_stable(self, tmp_path, ray_session):
+        """A corpus of only empty/whitespace documents: the explode
+        emits zero spans but must keep STRING-typed h/span blocks (an
+        Arrow 'null'-typed empty block next to string blocks is the
+        schema mismatch _ensure_pair_schema guards elsewhere)."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_spans
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["", "   ", ""], pa.string()),
+        })
+        d = tmp_path / "empty_docs"
+        d.mkdir()
+        pq.write_table(t, str(d / "documents.parquet"))
+        got = {r["doc_id"]: r for r in dedup_spans(str(d)).take_all()}
+        assert len(got) == 3
+        for i in (1, 2, 3):
+            assert got[i]["text_deduped"] == ""
+            assert got[i]["n_spans_kept"] == 0
+            assert got[i]["n_spans_dropped"] == 0

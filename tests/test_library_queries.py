@@ -770,6 +770,34 @@ class TestTfidfTopTerms:
         # 'the' appears in every doc -> idf ln(1) = 0 -> never rank 1
         assert all(v[0][0] != "the" for v in grouped.values())
 
+    def test_salted_path_preserves_large_doc_ids(self, tmp_path,
+                                                 ray_session):
+        """doc_ids above 2^53 are not float64-representable; the salted
+        co-group must never null-fill (and so never float-coerce) the
+        id column — the regression that motivated the full shared
+        schema with explicit dummies."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            tfidf_top_terms,
+        )
+
+        big = 2**53 + 1  # rounds to 2^53 through float64
+        d = tmp_path / "bigid"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "doc_id": pa.array([big, 7], pa.int64()),
+            "text": ["alpha beta shared", "gamma delta shared"],
+        }), str(d / "documents.parquet"))
+        got = tfidf_top_terms(str(d), k=3, min_df=2,
+                              salted_min_rows=0).to_pandas()
+        assert big in set(got["doc_id"]), got["doc_id"].tolist()
+        small = tfidf_top_terms(str(d), k=3, min_df=2).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values(["doc_id", "rank"]).reset_index(drop=True),
+            small.sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
     def test_min_df_and_ties(self, tmp_path, ray_session):
         import pyarrow as pa
         import pyarrow.parquet as pq2
