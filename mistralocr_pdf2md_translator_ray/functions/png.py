@@ -174,15 +174,17 @@ def decode_png(blob: bytes) -> np.ndarray:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA -> PNG bytes
-    (filter 0 per scanline)."""
+    """uint8 (h, w) gray / (h, w, 2) gray+alpha / (h, w, 3) RGB /
+    (h, w, 4) RGBA -> PNG bytes (filter 0 per scanline). Covers every
+    shape decode_png can produce, so decode->transform->encode
+    round-trips any decoder-supported PNG."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         color_type, ch = 0, 1
         h, w = a.shape
-    elif a.ndim == 3 and a.shape[2] in (3, 4):
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
         h, w, ch = a.shape
-        color_type = 2 if ch == 3 else 6
+        color_type = {2: 4, 3: 2, 4: 6}[ch]
     else:
         raise PngError(f"unsupported array shape {a.shape}")
     if h == 0 or w == 0:

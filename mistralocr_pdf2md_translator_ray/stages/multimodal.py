@@ -379,7 +379,10 @@ def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
     clustering/removal via the shared dedup machinery, and a final
     co-group maps kept vec_ids back to payload keys. Error rows (hash
     0) are excluded from banding so they can never cluster together.
-    Returns kept (conv_id, turn_idx, payload_id, dhash)."""
+    Returns kept (conv_id, turn_idx, payload_id, dhash, decode_status)
+    — decode_status distinguishes kept-because-undecodable rows (hash
+    forced to 0, always kept) from a genuinely uniform image whose real
+    dHash is also 0."""
     from ..functions.dedup import simhash_bands
     from .dedup import (
         _hamming_component_pairs,
@@ -431,7 +434,8 @@ def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
     def back(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         m = rdf.merge(ldf[["doc_id"]].drop_duplicates(),
                       on="doc_id", how="inner")
-        return m[["conv_id", "turn_idx", "payload_id", "dhash"]]
+        return m[["conv_id", "turn_idx", "payload_id", "dhash",
+                  "decode_status"]]
 
     def as_doc_rows(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -440,6 +444,7 @@ def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
             "turn_idx": t["turn_idx"],
             "payload_id": t["payload_id"],
             "dhash": t["dhash"],
+            "decode_status": t["decode_status"],
         })
 
     return cogroup(
@@ -452,5 +457,6 @@ def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
                                 ("conv_id", pa.string()),
                                 ("turn_idx", pa.int32()),
                                 ("payload_id", pa.string()),
-                                ("dhash", pa.int64())]),
+                                ("dhash", pa.int64()),
+                                ("decode_status", pa.string())]),
     )

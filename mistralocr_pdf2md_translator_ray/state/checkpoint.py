@@ -295,7 +295,8 @@ def run_checkpointed_append(
     partition (``<ckpt>/data/shard_id=<sid>/``):
 
     - NEW files (unseen path) are processed and appended;
-    - CHANGED files (size or footer row count differs) are recomputed
+    - CHANGED files (size or raw footer bytes differ — see
+      ``_shard_fingerprint``) are recomputed
       in place — their old partition is dropped first;
     - REMOVED files have their output partition pruned (manifest first,
       then data — a crash never leaves lineage claiming pruned rows);
@@ -352,16 +353,28 @@ def run_checkpointed_append(
                 sid_of[p] = next_sid
                 next_sid += 1
 
+        # Ray's include_paths rendering varies (may drop the leading
+        # '/', resolve symlinks, or normalize duplicate slashes) — match
+        # on a canonical realpath on BOTH sides, and fail with the
+        # unmatched path named rather than a bare KeyError.
+        sid_canon = {os.path.realpath(p): s for p, s in sid_of.items()}
+
         def tag_shard(t: pa.Table) -> pa.Table:
             # one sid lookup per path value (a block spans one file in
             # practice; dictionary-encode keeps it vectorized either way)
             enc = t["path"].combine_chunks().dictionary_encode()
-            # Ray may render paths without the leading '/' depending on
-            # filesystem resolution — normalize back to absolute
-            lut = np.array(
-                [sid_of[os.path.abspath("/" + v.as_py().lstrip("/"))]
-                 for v in enc.dictionary],
-                dtype=np.int32)
+
+            def _sid(raw: str) -> int:
+                for cand in (raw, "/" + raw.lstrip("/")):
+                    s = sid_canon.get(os.path.realpath(cand))
+                    if s is not None:
+                        return s
+                raise ValueError(
+                    f"input path {raw!r} from include_paths matches no "
+                    f"pending shard (known: {sorted(sid_of)[:3]}...)")
+
+            lut = np.array([_sid(v.as_py()) for v in enc.dictionary],
+                           dtype=np.int32)
             sids = lut[enc.indices.to_numpy(zero_copy_only=False)]
             return t.drop_columns(["path"]).append_column(
                 "shard_id", pa.array(sids, pa.int32()))

@@ -781,6 +781,7 @@ class TestImageDhash:
         assert "p3" in ids
         assert len(ids & {"p1", "p2"}) == 1  # exactly one of the pair
         assert len(kept) == 2
+        assert set(kept["decode_status"]) == {"ok"}
 
     def test_fake_rung_exact_dup_only(self, ray_session):
         from mistralocr_pdf2md_translator_ray.stages.multimodal import (
@@ -812,6 +813,8 @@ class TestImageDhash:
         kept = neardup_images(rd.from_arrow(tbl), fake=False).to_pandas()
         # both error rows share hash 0 but are excluded from banding
         assert len(kept) == 2
+        # kept-because-undecodable rows are distinguishable downstream
+        assert all(s.startswith("error") for s in kept["decode_status"])
 
 
 class TestDedupSpansProperty:

@@ -76,7 +76,9 @@ def _forward_filter(img: np.ndarray, ftypes) -> bytes:
 
 
 class TestPngCodec:
-    @pytest.mark.parametrize("shape", [(5, 7), (4, 3, 3), (2, 2, 4), (1, 1)])
+    @pytest.mark.parametrize("shape",
+                             [(5, 7), (4, 3, 3), (2, 2, 4), (1, 1),
+                              (3, 4, 2)])
     def test_roundtrip(self, shape):
         rng = np.random.default_rng(42)
         img = rng.integers(0, 256, size=shape, dtype=np.uint8)
@@ -254,6 +256,23 @@ class TestStdlibDecodeRung:
         assert out["resize_status"][0].as_py() == "ok"
         resized = decode_png(bytes(out["payload_resized"][0].as_py()))
         np.testing.assert_array_equal(resized, resize_nearest(img, 6, 8))
+
+    def test_resize_actor_gray_alpha_roundtrip(self):
+        # color type 4 (gray+alpha): decode_png supports it, so the
+        # stdlib rung must resize it, not error-as-value (ADVICE r4)
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import (
+            ImageResizeActor,
+            probe_image_codec,
+        )
+
+        if probe_image_codec() is not None:
+            pytest.skip("Pillow present: resize bypasses the stdlib rung")
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(10, 12, 2), dtype=np.uint8)
+        out = ImageResizeActor(width=5, height=4)(self._batch([encode_png(img)]))
+        assert out["resize_status"][0].as_py() == "ok"
+        resized = decode_png(bytes(out["payload_resized"][0].as_py()))
+        np.testing.assert_array_equal(resized, resize_nearest(img, 5, 4))
 
     def test_non_png_payload_keeps_fake_or_errors(self):
         from mistralocr_pdf2md_translator_ray.stages.multimodal import (
