@@ -37,6 +37,27 @@ _STOPWORDS = {
 _ALL_STOPWORDS = frozenset().union(*_STOPWORDS.values())
 
 
+# Python str.split() treats U+001C-001F (FS/GS/RS/US) as whitespace;
+# rust-regex \s is the Unicode White_Space set, which excludes exactly
+# those four (differentially proven over every BMP codepoint in
+# TestExplodeTfKernel). Vectorized polars tokenizers translate them
+# before \S+ — gated on one cheap scan since real corpora lack them.
+CTRL_WS_RE = "[\\x1c-\\x1f]"
+
+
+def split_tokens_expr(pf, col: str = "text"):
+    """Polars expression producing the Python ``text.split()`` token
+    list for ``col`` (list[str]; null text -> null). ``pf`` is the
+    polars DataFrame the expression will run against — needed for the
+    control-separator presence scan."""
+    import polars as pl
+
+    text = pl.col(col)
+    if pf[col].str.contains(CTRL_WS_RE).any():
+        text = text.str.replace_all(CTRL_WS_RE, " ")
+    return text.str.extract_all(r"\S+")
+
+
 def token_count(text: str) -> int:
     """Whitespace token count — SQL-parity kernel.
 

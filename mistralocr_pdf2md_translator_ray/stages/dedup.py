@@ -772,45 +772,54 @@ def dedup_spans(sf_dir: str, span_tokens: int = 16,
     """
     from .joins import cogroup
     from ..functions.hashing import bucket_ids
-    from ..functions.textstats import content_hash
+    from ..functions.textstats import split_tokens_expr
 
     ds = _read_docs(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids, idxs, hashes, spans = [], [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(),
-                                t["text"].to_pylist()):
-            toks = text.split() if text else []
-            for i in range(0, len(toks), span_tokens):
-                s = " ".join(toks[i:i + span_tokens])
-                doc_ids.append(doc_id)
-                idxs.append(i // span_tokens)
-                hashes.append(content_hash(s))
-                spans.append(s)
-        df = pd.DataFrame({
-            "doc_id": pd.Series(doc_ids, dtype="int64"),
-            "span_idx": pd.Series(idxs, dtype="int64"),
-            "h": pd.Series(hashes, dtype="object"),
-            "span": pd.Series(spans, dtype="object"),
-        })
-        # batch-local map-side combine (see docstring: lossless, and
-        # the hot-hash skew guard): one min-candidate per hash
-        df = df.sort_values(["h", "doc_id", "span_idx"], kind="mergesort") \
-            .drop_duplicates("h", keep="first")
-        # explicit schema: an all-empty-docs batch would otherwise emit
-        # h/span as Arrow 'null' type next to string blocks in the sort
-        # shuffle (the mismatch _ensure_pair_schema guards elsewhere)
-        out = pa.table({
-            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
-            "span_idx": pa.array(df["span_idx"].to_numpy(), pa.int64()),
-            "h": pa.array(df["h"].tolist(), pa.string()),
-            "span": pa.array(df["span"].tolist(), pa.string()),
-        })
-        return out.append_column("hb", bucket_ids(out["h"], num_buckets))
+        # Vectorized polars (tokenize -> explode -> window group ->
+        # join); replaces the round-4 per-document Python loop. Spans
+        # are identified by a 128-bit content key (two independently
+        # seeded 64-bit polars hashes — transient, within-run only, so
+        # the cross-version stability caveat of functions/hashing.py
+        # does not apply; collision odds at 100 TB are ~n^2/2^129).
+        import polars as pl
+
+        pf = pl.from_arrow(t.select(["doc_id", "text"]))
+        spans = (
+            pf.lazy()
+            .select("doc_id", tok=split_tokens_expr(pf))
+            .filter(pl.col("tok").list.len() > 0)
+            .explode("tok", empty_as_null=False)
+            # one input row per doc -> exploded tokens are contiguous,
+            # so the per-doc running index is the token position
+            .with_columns(span_idx=pl.int_range(pl.len())
+                          .over("doc_id") // span_tokens)
+            .group_by("doc_id", "span_idx", maintain_order=True)
+            .agg(span=pl.col("tok"))
+            # list.join, not the agg-context str.join whose
+            # empty-group default flips in polars 2.0 (groups here are
+            # never empty, but don't depend on a moving default)
+            .with_columns(span=pl.col("span").list.join(" "))
+            .with_columns(h1=pl.col("span").hash(seed=1),
+                          h2=pl.col("span").hash(seed=2))
+            # batch-local map-side combine (see docstring: lossless,
+            # and the hot-hash skew guard): one min-candidate per hash
+            .sort(["h1", "h2", "doc_id", "span_idx"])
+            .unique(subset=["h1", "h2"], keep="first",
+                    maintain_order=True)
+            .collect()
+        )
+        out = spans.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("span_idx", pa.int64()),
+            ("span", pa.string()), ("h1", pa.uint64()),
+            ("h2", pa.uint64())]))
+        return out.append_column("hb", bucket_ids(out["h1"], num_buckets))
 
     def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["h", "doc_id", "span_idx"], kind="mergesort")
-        keep = g.drop_duplicates("h", keep="first")
+        g = g.sort_values(["h1", "h2", "doc_id", "span_idx"],
+                          kind="mergesort")
+        keep = g.drop_duplicates(["h1", "h2"], keep="first")
         return keep[["doc_id", "span_idx", "span"]]
 
     from .joins import coalesce_blocks
@@ -823,12 +832,21 @@ def dedup_spans(sf_dir: str, span_tokens: int = 16,
     )
 
     def n_spans(t: pa.Table) -> pa.Table:
-        counts = []
-        for x in t["text"].to_pylist():
-            toks = x.split() if x else []
-            counts.append(-(-len(toks) // span_tokens) if toks else 0)
+        # count_matches, not extract_all: counting tokens must not
+        # materialize them
+        import polars as pl
+
+        from ..functions.textstats import CTRL_WS_RE
+
+        pf = pl.from_arrow(t.select(["doc_id", "text"]))
+        text = pl.col("text")
+        if pf["text"].str.contains(CTRL_WS_RE).any():
+            text = text.str.replace_all(CTRL_WS_RE, " ")
+        counts = pf.select(
+            n=((text.str.count_matches(r"\S+") + (span_tokens - 1))
+               // span_tokens).fill_null(0).cast(pl.Int64))["n"]
         return pa.table({"doc_id": t["doc_id"],
-                         "n_spans": pa.array(counts, pa.int64())})
+                         "n_spans": counts.to_arrow().cast(pa.int64())})
 
     universe = ds.map_batches(n_spans, batch_format="pyarrow",
                               batch_size=65536)

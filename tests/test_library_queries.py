@@ -821,6 +821,64 @@ class TestTfidfTopTerms:
         assert 3 not in set(got["doc_id"])
 
 
+class TestExplodeTfKernel:
+    """The vectorized polars tokenize/explode kernel vs a
+    straightforward Python-loop reference (the round-4 per-document
+    loop it replaced), plus a full-BMP differential proving the
+    tokenizer equals Python str.split() on every codepoint."""
+
+    @staticmethod
+    def _reference(df):
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            if not text:
+                continue
+            vc = pd.Series(text.split()).value_counts()
+            for tok, tf in vc.items():
+                rows.append((doc_id, tok, tf))
+        return pd.DataFrame(rows, columns=["doc_id", "token", "tf"])
+
+    def _check(self, df):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            _explode_tf,
+        )
+
+        got = _explode_tf(df).sort_values(
+            ["doc_id", "token"]).reset_index(drop=True)
+        exp = self._reference(df).sort_values(
+            ["doc_id", "token"]).reset_index(drop=True)
+        if exp.empty:
+            assert got.empty
+            return
+        pd.testing.assert_frame_equal(
+            got.astype({"doc_id": "int64", "tf": "int64"}),
+            exp.astype({"doc_id": "int64", "tf": "int64"}))
+
+    def test_corpus_parity(self):
+        src = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
+        self._check(src)
+
+    def test_edge_cases(self):
+        self._check(pd.DataFrame({
+            "doc_id": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+            "text": ["", "   ", "a  b\t\nc a", "\x1cx\x1dy\x1ez\x1f",
+                     "café café 　 full width"],
+        }))
+
+    def test_every_bmp_codepoint_matches_str_split(self):
+        # one doc per codepoint, token boundaries decided by that char:
+        # polars \S+ (plus the \x1c-\x1f translation) must agree with
+        # Python str.split() on all of them
+        chars = [chr(c) for c in range(1, 0x10000)
+                 if not (0xD800 <= c <= 0xDFFF)]
+        df = pd.DataFrame({
+            "doc_id": pd.Series(range(len(chars)), dtype="int64"),
+            "text": [f"a{c}b" for c in chars],
+        })
+        self._check(df)
+
+
 class TestSampleWeighted:
     """Deterministic A-ES weighted sampling: exact reference parity
     (the priority function is the spec; this pins the distributed
