@@ -561,6 +561,96 @@ class TestFunnel:
         assert got[1] == 3   # users 1, 2, 4 viewed
         assert got[2] == 2   # users 1, 2 clicked after their view
         assert got[3] == 1   # only user 1 purchased after the click
+        # forced iterative-frontier fallback: identical on the same table
+        forced = funnel_counts(str(d), residency_max_rows=0) \
+            .to_pandas().set_index("step")["n_users"]
+        assert forced.tolist() == got.tolist()
+
+    def test_forced_frontier_path_matches(self, ddb, ray_session):
+        """The gate=0 route (iterative per-batch-minima + salted
+        frontier join — no task holds one user's full event set) must
+        equal both the bucket-residency path and the DuckDB oracle."""
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            FUNNEL_COUNTS_SQL,
+            funnel_counts,
+        )
+
+        primary = funnel_counts(SF_DIR).to_pandas().reset_index(drop=True)
+        forced = funnel_counts(SF_DIR, residency_max_rows=0) \
+            .to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(forced, primary)
+        exp = ddb.sql(FUNNEL_COUNTS_SQL).df()
+        pd.testing.assert_frame_equal(forced, exp, check_dtype=False,
+                                      check_exact=True)
+
+
+class TestSessionizeWindowed:
+    """The footer-gated window-compaction fallback for
+    sessionize_events: per-(user, 30-min-window) summaries fully
+    determine session structure (a break can never fall strictly
+    inside a window), so residency drops from events to nonempty
+    windows. Forced-gate equality vs the residency path + oracle,
+    plus boundary-exact planted cases."""
+
+    def test_forced_windowed_path_matches(self, ddb, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            SESSIONIZE_SQL,
+            sessionize_events,
+        )
+
+        def norm(df):
+            return df.sort_values(["user_id", "session_id"]) \
+                .reset_index(drop=True)
+
+        primary = norm(sessionize_events(SF_DIR).to_pandas())
+        forced = norm(sessionize_events(
+            SF_DIR, residency_max_rows=0).to_pandas())
+        pd.testing.assert_frame_equal(forced, primary)
+        exp = norm(ddb.sql(SESSIONIZE_SQL).df())
+        pd.testing.assert_frame_equal(forced, exp, check_dtype=False,
+                                      check_exact=True)
+
+    def test_gap_boundaries_exact(self, tmp_path, ray_session):
+        """Adjacent-window gap of exactly 30 min does NOT break
+        (> semantics); 2-windows-apart always breaks; a burst inside
+        one window never breaks."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import (
+            sessionize_events,
+        )
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        m = np.timedelta64(60, "s")
+        rows = [
+            # user 1: events at 0 and exactly +30min -> ONE session
+            (1, base), (1, base + 30 * m),
+            # user 2: events at 0 and +30min+1s -> TWO sessions
+            (2, base), (2, base + 30 * m + np.timedelta64(1, "s")),
+            # user 3: burst of 5 events inside one window -> ONE session
+            *[(3, base + i * np.timedelta64(10, "s")) for i in range(5)],
+            # user 4: 0, +29min, +58min: chained adjacent windows,
+            # each gap 29min -> ONE session spanning 3 windows
+            (4, base), (4, base + 29 * m), (4, base + 58 * m),
+        ]
+        d = tmp_path / "sessw"
+        d.mkdir()
+        pq2.write_table(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }), str(d / "events.parquet"))
+        for gate in (500_000_000, 0):
+            got = sessionize_events(str(d), residency_max_rows=gate) \
+                .to_pandas().sort_values(["user_id", "session_id"])
+            per_user = got.groupby("user_id")["session_id"].max()
+            assert per_user[1] == 1, gate
+            assert per_user[2] == 2, gate
+            assert per_user[3] == 1, gate
+            assert per_user[4] == 1, gate
+            u3 = got[got["user_id"] == 3]
+            assert u3["n_events"].tolist() == [5]
 
 
 class TestNtile:
