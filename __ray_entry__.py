@@ -105,6 +105,44 @@ def _knn_ivf_indexed_query(sf_dir: str) -> Any:
     return knn_cosine_ivf_indexed(idx, qv, nprobe=3, exclude_vec_id=0)
 
 
+def _dedup_incremental_query(sf_dir: str) -> Any:
+    """Incremental near-dup against a persisted band index: split the
+    documents table into an 'old' corpus (90%) and a daily 'new' shard
+    (doc_id % 10 == 0), build the index on old, then dedup ONLY the new
+    shard against it. Rows-only; kept-set parity with from-scratch runs
+    on the concatenated corpus is pinned in tests/test_dedup_incremental.py."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+        build_dedup_index,
+        dedup_minhash_incremental,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_dedup_inc_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh split + index each run
+    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
+    os.makedirs(old_dir)
+    os.makedirs(new_dir)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    is_new = pa.array(docs["doc_id"].to_numpy() % 10 == 0)
+    pq.write_table(docs.filter(np.logical_not(is_new)),
+                   os.path.join(old_dir, "documents.parquet"))
+    pq.write_table(docs.filter(is_new),
+                   os.path.join(new_dir, "documents.parquet"))
+    idx = os.path.join(root, "index")
+    build_dedup_index(old_dir, idx)
+    return dedup_minhash_incremental(new_dir, idx)
+
+
 def _payload_features_query(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -272,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_embedding": dd.neardup_embedding,
         "dedup_spans": dd.dedup_spans,
         "neardup_clusters": dd.neardup_clusters,
+        "dedup_minhash_incremental": _dedup_incremental_query,
         # similarity search (brute-force baseline + IVF scale path)
         "knn_cosine": lib.knn_cosine,
         "knn_cosine_ivf": _knn_ivf_query,

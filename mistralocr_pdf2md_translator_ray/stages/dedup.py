@@ -398,6 +398,21 @@ def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
         .map_groups(per_bucket, batch_format="pandas")
     )
 
+    return _distinct_pairs_ds(raw_pairs, num_buckets)
+
+
+def _distinct_pairs_ds(raw_pairs: "rd.Dataset",
+                       num_buckets: int = 64) -> tuple["rd.Dataset", int]:
+    """Raw (a, b) pair Dataset -> (distinct pairs, raw count).
+
+    Adaptive cross-band dedupe (same pattern as clustering): below the
+    bound the whole raw pair set is one task's pandas drop_duplicates
+    (Dataset-native — one repartition, no sort shuffle, nothing on the
+    driver); above it, a bucketed combine keyed on ``a``. Shared by
+    ``_pairs_dataset`` and the incremental path's new-vs-old probe."""
+    from ..functions.hashing import bucket_ids
+    from .joins import coalesce_blocks
+
     def add_pair_bucket(t: pa.Table) -> pa.Table:
         return t.append_column("pb", bucket_ids(t["a"], num_buckets))
 
@@ -405,10 +420,6 @@ def _pairs_dataset(bucket_rows: "rd.Dataset", group_pair_fn,
         out = g.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
         return out[["a", "b"]].astype({"a": "int64", "b": "int64"})
 
-    # adaptive cross-band dedupe (same pattern as clustering): below the
-    # bound the whole raw pair set is one task's pandas drop_duplicates
-    # (Dataset-native — one repartition, no sort shuffle, nothing on the
-    # driver); above it, a bucketed combine keyed on `a`
     raw_pairs = raw_pairs.map_batches(
         _ensure_pair_schema, batch_format="pyarrow").materialize()
     n_raw = raw_pairs.count()  # metadata-only on a materialized Dataset
@@ -467,7 +478,8 @@ def _sorted_pair_blocks(pairs: "rd.Dataset",
     return pairs.sort(["a", "b"])
 
 
-def _verify_jaccard_ds(doc_path: str, pairs: "rd.Dataset", shingle_fn,
+def _verify_jaccard_ds(doc_path: "str | list[str]", pairs: "rd.Dataset",
+                       shingle_fn,
                        threshold: float,
                        batch_size: int = 4096,
                        n_upper: int | None = None) -> "rd.Dataset":
@@ -486,9 +498,17 @@ def _verify_jaccard_ds(doc_path: str, pairs: "rd.Dataset", shingle_fn,
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
         need = np.unique(np.concatenate([a, b])).tolist()
-        tbl = pq.read_table(doc_path, columns=["doc_id", "text"],
-                            filters=[("doc_id", "in", need)])
-        texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        # doc_path may be a list (incremental dedup: old + new corpora
+        # with disjoint doc_ids) — each file is probed with the same
+        # pushdown filter, any doc lives in exactly one
+        paths = doc_path if isinstance(doc_path, (list, tuple)) \
+            else [doc_path]
+        texts: dict = {}
+        for p in paths:
+            tbl = pq.read_table(p, columns=["doc_id", "text"],
+                                filters=[("doc_id", "in", need)])
+            texts.update(zip(tbl["doc_id"].to_pylist(),
+                             tbl["text"].to_pylist()))
         shingles = {d: shingle_fn(texts[d]) for d in need}
         mask = np.fromiter(
             (jaccard(shingles[int(x)], shingles[int(y)]) >= threshold
@@ -535,13 +555,12 @@ def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
 
 # ---------------------------------------------------------------------------
 
-def _minhash_verified_pairs(sf_dir: str, threshold: float,
-                            seed: int) -> tuple["rd.Dataset", "rd.Dataset"]:
-    """Shared MinHash(128)+LSH(16) candidate generation + exact-Jaccard
-    verification: (docs, verified_pairs). dedup_minhash (removal view)
-    and neardup_clusters (assignment view) consume the SAME pipeline so
-    their pytest-pinned consistency can't drift."""
-    docs = _read_docs(sf_dir)
+def _minhash_band_rows(docs: "rd.Dataset", seed: int) -> "rd.Dataset":
+    """documents -> (band_key, doc_id) LSH rows, MinHash(_N_PERM) cut
+    into _BANDS bands. THE banding step — shared by the from-scratch
+    dedup family and the persisted-index incremental path
+    (dedup_incremental.py), which must band identically or new-vs-old
+    collisions would differ from a from-scratch run."""
 
     def sketch(t: pa.Table) -> pa.Table:
         ids, keys = [], []
@@ -553,7 +572,17 @@ def _minhash_verified_pairs(sf_dir: str, threshold: float,
         return pa.table({"band_key": pa.array(keys, pa.string()),
                          "doc_id": pa.array(ids, pa.int64())})
 
-    buckets = docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+    return docs.map_batches(sketch, batch_format="pyarrow", batch_size=2048)
+
+
+def _minhash_verified_pairs(sf_dir: str, threshold: float,
+                            seed: int) -> tuple["rd.Dataset", "rd.Dataset"]:
+    """Shared MinHash(128)+LSH(16) candidate generation + exact-Jaccard
+    verification: (docs, verified_pairs). dedup_minhash (removal view)
+    and neardup_clusters (assignment view) consume the SAME pipeline so
+    their pytest-pinned consistency can't drift."""
+    docs = _read_docs(sf_dir)
+    buckets = _minhash_band_rows(docs, seed)
     pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
     verified = _verify_jaccard_ds(
         os.path.join(sf_dir, "documents.parquet"), pairs, char_shingles,

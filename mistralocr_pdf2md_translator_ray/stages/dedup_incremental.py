@@ -1,0 +1,284 @@
+"""Incremental MinHash near-dup against a PERSISTED band index.
+
+The growing-corpus path a 100-TB pipeline actually runs: the corpus was
+deduped once; new shards land daily; re-banding and re-verifying the
+whole history per increment is O(corpus) per day. Instead,
+``build_dedup_index`` persists the dedup run's three artifacts —
+
+  <index_dir>/bands/bb=<k>/   (band_key, doc_id) for EVERY old doc
+                              (removed docs included: they carry
+                              transitivity — a new doc similar only to
+                              a removed doc must still join that doc's
+                              cluster), band_key-sorted within each
+                              hash partition so row-group stats serve
+                              pushdown probes
+  <index_dir>/labels/         (doc_id, cluster_id) for old clustered
+                              docs — the old verified pairs compressed
+                              to star edges (same components)
+  <index_dir>/kept/           the old run's surviving doc_ids
+  <index_dir>/meta.json       seed / bands / n_perm / threshold /
+                              doc_path / band partition count
+
+and ``dedup_minhash_incremental`` processes ONLY the new shards:
+
+  1. band the new docs (identical sketch path — shared
+     ``_minhash_band_rows``);
+  2. new-vs-new candidates via the standard ``_pairs_dataset``;
+  3. new-vs-old candidates by PROBING the band index: new band rows
+     group by the index's partition hash, each group task reads only
+     its own ``bb=`` partition with a ``band_key IN (...)`` pushdown
+     filter — the old corpus is never scanned (reference analog: the
+     checkpoint-existence skip semantics, mistralocr_app.py:585-597; Ray
+     pattern analog: ``build_ivf_index``/``knn_cosine_ivf_indexed``,
+     stages/similarity.py:186,221);
+  4. exact-Jaccard verify reads old + new documents by doc_id
+     pushdown (the shared ``_verify_jaccard_ds``, multi-path);
+  5. keep = ``_keep_after_pairs`` over (old kept ∪ new docs) with
+     edges = old labels ∪ verified new pairs. Min-label union-find
+     over star-compressed old components is exactly the from-scratch
+     clustering, so the kept set EQUALS a from-scratch run on the
+     concatenated corpus (pytest-pinned, including the case where a
+     new doc bridges two old clusters and evicts a previously-kept
+     old doc).
+
+Contract: doc_ids are globally unique across the old corpus and every
+increment (the tables' invariant). ``update_index=True`` folds the
+increment back in (bands append; labels/kept rewrite) so increments
+chain — two successive increments equal one from-scratch run over all
+three corpora (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .dedup import (
+    _BANDS,
+    _N_PERM,
+    _all_pairs,
+    _distinct_pairs_ds,
+    _ensure_pair_schema,
+    _keep_after_pairs,
+    _minhash_band_rows,
+    _pairs_dataset,
+    _read_docs,
+    _verify_jaccard_ds,
+    cluster_labels,
+)
+from ..functions.dedup import char_shingles
+from ..functions.hashing import bucket_ids
+
+_BAND_PARTS = 64
+
+
+def _doc_ids(docs: "rd.Dataset") -> "rd.Dataset":
+    return docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"]}),
+        batch_format="pyarrow")
+
+
+def _labels_as_edges(labels: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, cluster_id) -> (a, b) star edges for union-find (self
+    edges for roots are harmless no-ops)."""
+    return labels.map_batches(
+        lambda t: pa.table({"a": t["cluster_id"].cast(pa.int64()),
+                            "b": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+_LABELS_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                            ("cluster_id", pa.int64())])
+_KEPT_SCHEMA = pa.schema([("doc_id", pa.int64())])
+
+
+def _write_ds(ds: "rd.Dataset", path: str, schema: pa.Schema) -> None:
+    """write_parquet that survives the empty case: an empty Dataset
+    writes no files at all (an old corpus with zero near-dup pairs has
+    empty labels), which would make the later read_parquet fail — seed
+    a typed empty file instead."""
+    import pyarrow.parquet as pq
+
+    ds.write_parquet(path)
+    os.makedirs(path, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(path)):
+        pq.write_table(schema.empty_table(),
+                       os.path.join(path, "empty.parquet"))
+
+
+def _write_bands(bands: "rd.Dataset", bands_dir: str,
+                 num_parts: int = _BAND_PARTS) -> None:
+    """Append band rows as parquet partitioned by ``bb = hash(band_key)
+    % num_parts``, globally sorted by (bb, band_key) first so each
+    partition's files carry sorted band_key row groups — the one-time
+    all-to-all that makes every later probe a pruned read (the
+    build_ivf_index trade)."""
+
+    def add_bb(t: pa.Table) -> pa.Table:
+        return t.append_column("bb", bucket_ids(t["band_key"], num_parts))
+
+    os.makedirs(bands_dir, exist_ok=True)
+    bands.map_batches(add_bb, batch_format="pyarrow") \
+        .sort(["bb", "band_key"]) \
+        .write_parquet(bands_dir, partition_cols=["bb"])
+
+
+def build_dedup_index(sf_dir: str, index_dir: str, threshold: float = 0.8,
+                      seed: int = 42,
+                      num_band_parts: int = _BAND_PARTS) -> None:
+    """Run the from-scratch MinHash dedup over ``sf_dir`` and persist
+    the band index + labels + kept set (layout in the module
+    docstring). Same banding/verification as ``dedup_minhash`` — the
+    increments' parity depends on it."""
+    docs = _read_docs(sf_dir)
+    # sketch ONCE: the band table (16 fixed-width rows per doc — the
+    # same budget the from-scratch LSH shuffle moves) feeds both the
+    # pair generation and the index write
+    bands = _minhash_band_rows(docs, seed).materialize()
+    pairs, n_raw = _pairs_dataset(bands, _all_pairs)
+    verified = _verify_jaccard_ds(
+        os.path.join(sf_dir, "documents.parquet"), pairs, char_shingles,
+        threshold, n_upper=n_raw).materialize()  # feeds labels AND kept
+
+    tmp = index_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    _write_bands(bands, os.path.join(tmp, "bands"), num_band_parts)
+    _write_ds(cluster_labels(verified), os.path.join(tmp, "labels"),
+              _LABELS_SCHEMA)
+    _write_ds(_keep_after_pairs(docs, verified),
+              os.path.join(tmp, "kept"), _KEPT_SCHEMA)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"seed": seed, "bands": _BANDS, "n_perm": _N_PERM,
+                   "threshold": threshold,
+                   "num_band_parts": num_band_parts,
+                   "doc_paths": [os.path.abspath(
+                       os.path.join(sf_dir, "documents.parquet"))]}, f)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp, index_dir)
+
+
+def _probe_band_index(new_bands: "rd.Dataset", bands_dir: str,
+                      num_parts: int) -> "rd.Dataset":
+    """New (band_key, doc_id) rows -> raw new-vs-old candidate (a, b)
+    pairs. Grouped by the index's partition hash; each group task reads
+    ONLY its own partition, filtered to the group's band keys (row-group
+    pruning via the sorted write). Emits (min, max)-oriented pairs so
+    the cross-band distinct combine can dedupe them."""
+
+    def add_bb(t: pa.Table) -> pa.Table:
+        return t.append_column("bb", bucket_ids(t["band_key"], num_parts))
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        part = os.path.join(bands_dir, f"bb={int(g['bb'].iloc[0])}")
+        if not os.path.isdir(part):
+            return empty
+        keys = g["band_key"].drop_duplicates().tolist()
+        old = pq.read_table(
+            part, columns=["band_key", "doc_id"],
+            filters=[("band_key", "in", keys)]).to_pandas()
+        if old.empty:
+            return empty
+        m = g[["band_key", "doc_id"]].merge(
+            old, on="band_key", suffixes=("_new", "_old"))
+        if m.empty:
+            return empty
+        lo = np.minimum(m["doc_id_new"].to_numpy(),
+                        m["doc_id_old"].to_numpy())
+        hi = np.maximum(m["doc_id_new"].to_numpy(),
+                        m["doc_id_old"].to_numpy())
+        return pd.DataFrame({"a": pd.Series(lo, dtype="int64"),
+                             "b": pd.Series(hi, dtype="int64")})
+
+    from .joins import coalesce_blocks
+
+    return (
+        new_bands.map_batches(add_bb, batch_format="pyarrow")
+        .repartition(coalesce_blocks())
+        .groupby("bb")
+        .map_groups(probe, batch_format="pandas")
+        .map_batches(_ensure_pair_schema, batch_format="pyarrow")
+    )
+
+
+def dedup_minhash_incremental(new_dir: str, index_dir: str,
+                              update_index: bool = False) -> "rd.Dataset":
+    """Dedup NEW shards against a ``build_dedup_index`` index without
+    re-reading the old corpus (band probes + doc_id-pushdown verify
+    reads only). Returns the kept doc_ids over old ∪ new — bitwise the
+    set a from-scratch ``dedup_minhash`` over the concatenated corpus
+    returns. ``update_index=True`` folds the increment back into the
+    index so further increments chain."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    seed, threshold = meta["seed"], meta["threshold"]
+    num_parts = meta["num_band_parts"]
+    new_doc_path = os.path.abspath(
+        os.path.join(new_dir, "documents.parquet"))
+    if new_doc_path in meta["doc_paths"]:
+        raise ValueError(f"{new_doc_path} is already in the index")
+
+    new_docs = _read_docs(new_dir)
+    new_bands = _minhash_band_rows(new_docs, seed)
+    # the band rows feed two consumers (new-new pairing, index probe) —
+    # materialize the sketch, not the corpus (fixed 16 rows x ~24 B per
+    # doc, the same budget the from-scratch shuffle moves)
+    new_bands = new_bands.materialize()
+
+    nn_pairs, nn_raw = _pairs_dataset(new_bands, _all_pairs)
+    no_raw = _probe_band_index(new_bands,
+                               os.path.join(index_dir, "bands"), num_parts)
+    no_pairs, no_n = _distinct_pairs_ds(no_raw)
+    # new-new and new-old pair sets are disjoint (one endpoint old vs
+    # none), so the union is already distinct. Normalize BOTH sides to
+    # Arrow blocks first: the adaptive distinct tails emit pandas
+    # blocks on the small path and Arrow on the bucketed one, and a
+    # mixed-block union trips downstream sort shuffles.
+    pairs = nn_pairs.map_batches(
+        _ensure_pair_schema, batch_format="pyarrow").union(
+        no_pairs.map_batches(_ensure_pair_schema, batch_format="pyarrow"))
+
+    verified = _verify_jaccard_ds(
+        meta["doc_paths"] + [new_doc_path], pairs, char_shingles,
+        threshold, n_upper=nn_raw + no_n).materialize()
+
+    old_labels = rd.read_parquet(os.path.join(index_dir, "labels"))
+    old_kept = rd.read_parquet(os.path.join(index_dir, "kept"))
+    edges = verified.union(_labels_as_edges(old_labels))
+    universe = old_kept.union(_doc_ids(new_docs))
+    kept = _keep_after_pairs(universe, edges)
+
+    if not update_index:
+        return kept
+
+    # fold the increment in: bands append; labels/kept rewrite via tmp
+    # dirs + atomic swap (a crash mid-update leaves the old index or
+    # the new one, never a torn mix of labels and kept)
+    _write_bands(new_bands, os.path.join(index_dir, "bands"), num_parts)
+    new_labels = cluster_labels(edges)  # materializes internally
+    for name, ds, schema in (("labels", new_labels, _LABELS_SCHEMA),
+                             ("kept", kept, _KEPT_SCHEMA)):
+        tmp = os.path.join(index_dir, name + ".tmp")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        _write_ds(ds, tmp, schema)
+        final = os.path.join(index_dir, name)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
+    meta["doc_paths"].append(new_doc_path)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return rd.read_parquet(os.path.join(index_dir, "kept"))

@@ -1,0 +1,206 @@
+"""Incremental MinHash dedup against a persisted band index
+(stages/dedup_incremental.py): kept-set parity with from-scratch runs
+on the concatenated corpus, transitivity through removed old docs,
+bridge-eviction of previously-kept docs, chained increments, and the
+old-corpus-never-rescanned property."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+BASE = (
+    "The quick brown fox jumps over the lazy dog while the rain in "
+    "spain falls mainly on the plain and every good boy deserves "
+    "fudge because the five boxing wizards jump quickly tonight."
+)
+OTHER = (
+    "Completely different content about distributed dataflow engines "
+    "streaming arrow batches through actor pools with salted hash "
+    "partitioning and per-partition lineage checkpoints for resume."
+)
+THIRD = (
+    "Entirely unrelated prose concerning mountain weather patterns and "
+    "the migratory habits of alpine birds across seasonal ranges with "
+    "long descriptive passages about snowfall accumulation rates."
+)
+
+
+def _write_docs(path, rows):
+    """rows: list of (doc_id, text)."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), path)
+
+
+def _mkcorpus(tmp_path, name, rows):
+    d = tmp_path / name
+    d.mkdir()
+    _write_docs(str(d / "documents.parquet"), rows)
+    return str(d)
+
+
+def _kept(ds) -> list:
+    return sorted(r["doc_id"] for r in ds.take_all())
+
+
+class TestIncrementalDedup:
+    def _corpora(self, tmp_path):
+        near = BASE.replace("lazy dog", "sleepy dog")
+        near2 = BASE.replace("rain in spain", "rain in maine")
+        # old: 10~11 near-dups (11 removed), 12/13 distinct singletons
+        old_rows = [(10, BASE), (11, near), (12, OTHER), (13, THIRD)]
+        # new: 20 near-dup of the REMOVED old 11 (transitivity: must
+        # join cluster {10, 11}); 21 fresh; 22+23 new-new exact dups
+        # that are ALSO near old 12 (the appended tail keeps the
+        # shingle overlap high) -> the whole trio keeps only 12
+        new_rows = [(20, near2), (21, "totally fresh short text"),
+                    (22, OTHER + " v2"), (23, OTHER + " v2")]
+        old = _mkcorpus(tmp_path, "old", old_rows)
+        new = _mkcorpus(tmp_path, "new", new_rows)
+        concat = _mkcorpus(tmp_path, "concat", old_rows + new_rows)
+        return old, new, concat
+
+    def test_kept_equals_from_scratch_on_concat(self, tmp_path,
+                                                ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_minhash
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_dedup_index,
+            dedup_minhash_incremental,
+        )
+
+        old, new, concat = self._corpora(tmp_path)
+        idx = str(tmp_path / "idx")
+        build_dedup_index(old, idx)
+        # sanity: the old run removed 11
+        assert _kept(rd.read_parquet(os.path.join(idx, "kept"))) == \
+            [10, 12, 13]
+
+        got = _kept(dedup_minhash_incremental(new, idx))
+        exp = _kept(dedup_minhash(concat))
+        assert got == exp
+        # the planted facts themselves: 20 joined {10,11} via the
+        # REMOVED 11 -> dropped; the new-new dup trio {12,22,23}
+        # keeps only the old min
+        assert 20 not in got
+        assert 22 not in got and 23 not in got and 12 in got
+        assert 21 in got and 10 in got
+
+    def test_old_corpus_never_rescanned(self, tmp_path, ray_session):
+        """After the index is built, corrupting the text of old docs
+        that DON'T collide with the increment must not change the
+        result: the incremental path touches old text only through
+        doc_id-pushdown verify reads of colliding docs."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_dedup_index,
+            dedup_minhash_incremental,
+        )
+
+        old, new, _ = self._corpora(tmp_path)
+        idx = str(tmp_path / "idx2")
+        build_dedup_index(old, idx)
+        baseline = _kept(dedup_minhash_incremental(new, idx))
+
+        # corrupt the one old doc nothing in the increment collides
+        # with (13); keep 10/11/12 byte-identical — they collide with
+        # new docs 20/22/23 and WILL be re-read by the pushdown verify
+        near = BASE.replace("lazy dog", "sleepy dog")
+        _write_docs(os.path.join(old, "documents.parquet"),
+                    [(10, BASE), (11, near), (12, OTHER),
+                     (13, "corrupted thirteen")])
+        assert _kept(dedup_minhash_incremental(new, idx)) == baseline
+
+    def test_bridge_eviction_of_previously_kept_doc(self, tmp_path,
+                                                    ray_session):
+        """A new doc near both of two previously-distinct old kept docs
+        merges their clusters — the higher-id old doc, kept for years,
+        must now drop (exactly what a from-scratch run would do)."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_minhash
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_dedup_index,
+            dedup_minhash_incremental,
+        )
+
+        a = BASE
+        b = BASE.replace("quick brown fox", "swift auburn fox") \
+                .replace("lazy dog", "idle dog") \
+                .replace("boxing wizards", "sparring wizards") \
+                .replace("rain in spain", "rain in maine")
+        bridge = BASE.replace("lazy dog", "idle dog") \
+                     .replace("boxing wizards", "sparring wizards")
+        old_rows = [(1, a), (2, b)]
+        new_rows = [(30, bridge)]
+        old = _mkcorpus(tmp_path, "oldb", old_rows)
+        new = _mkcorpus(tmp_path, "newb", new_rows)
+        concat = _mkcorpus(tmp_path, "concatb", old_rows + new_rows)
+
+        # measured: J(a,b)=0.638 < 0.7 <= J(bridge,a)=0.829,
+        # J(bridge,b)=0.774 — distinct before, one cluster after
+        idx = str(tmp_path / "idxb")
+        build_dedup_index(old, idx, threshold=0.7)
+        old_kept = _kept(rd.read_parquet(os.path.join(idx, "kept")))
+        assert old_kept == [1, 2]    # a and b distinct before the bridge
+        got = _kept(dedup_minhash_incremental(new, idx))
+        exp = _kept(dedup_minhash(concat, threshold=0.7))
+        assert got == exp
+        assert got == [1], (old_kept, got)  # 2 evicted, 30 absorbed
+
+    def test_chained_increments_match_from_scratch(self, tmp_path,
+                                                   ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_minhash
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_dedup_index,
+            dedup_minhash_incremental,
+        )
+
+        near = BASE.replace("lazy dog", "sleepy dog")
+        r0 = [(1, BASE), (2, OTHER)]
+        r1 = [(10, near), (11, THIRD)]
+        r2 = [(20, OTHER + " appended tail"), (21, THIRD), (22, "tiny")]
+        c0 = _mkcorpus(tmp_path, "c0", r0)
+        c1 = _mkcorpus(tmp_path, "c1", r1)
+        c2 = _mkcorpus(tmp_path, "c2", r2)
+        call = _mkcorpus(tmp_path, "call", r0 + r1 + r2)
+
+        idx = str(tmp_path / "idxc")
+        build_dedup_index(c0, idx)
+        dedup_minhash_incremental(c1, idx, update_index=True)
+        got = _kept(dedup_minhash_incremental(c2, idx, update_index=True))
+        exp = _kept(dedup_minhash(call))
+        assert got == exp
+        # the folded index agrees with its own return value
+        assert _kept(rd.read_parquet(os.path.join(idx, "kept"))) == got
+        # re-adding a shard already folded in is rejected
+        with pytest.raises(ValueError, match="already in the index"):
+            dedup_minhash_incremental(c1, idx)
+
+    def test_probe_finds_cross_corpus_band_collisions(self, tmp_path,
+                                                      ray_session):
+        """The band-index probe alone (no verify) must surface every
+        (old, new) pair a from-scratch banding of the concat corpus
+        would — here the planted near-pair plus the exact dup."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup import (
+            _minhash_band_rows,
+            _read_docs,
+        )
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            _BAND_PARTS,
+            _probe_band_index,
+            build_dedup_index,
+        )
+
+        near = BASE.replace("lazy dog", "sleepy dog")
+        old = _mkcorpus(tmp_path, "oldp", [(1, BASE), (2, OTHER)])
+        new = _mkcorpus(tmp_path, "newp", [(30, near), (31, OTHER)])
+        idx = str(tmp_path / "idxp")
+        build_dedup_index(old, idx)
+        bands = _minhash_band_rows(_read_docs(new), seed=42)
+        pairs = _probe_band_index(bands, os.path.join(idx, "bands"),
+                                  _BAND_PARTS).to_pandas()
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert (1, 30) in got      # near pair collides in >= 1 band
+        assert (2, 31) in got      # exact dup collides in every band
