@@ -209,6 +209,15 @@ def _frame_sample_query(sf_dir: str) -> Any:
     return sample_frames(rd.from_arrow(p), every=2)
 
 
+def _embed_documents_query(sf_dir: str) -> Any:
+    """Deterministic text->embedding stage (feature-hashed byte-3-gram
+    projection, L2-normalized) — rows-only; kernel parity, determinism
+    and the text->embed->LSH recall chain pinned in tests/test_embed.py."""
+    from mistralocr_pdf2md_translator_ray.stages.embed import embed_documents
+
+    return embed_documents(sf_dir, dim=64, seed=0)
+
+
 def _redact_pii_query(sf_dir: str) -> Any:
     """PII scrubbing pass (emails/IPv4/phones) over documents —
     rows-only; Ray-vs-reference equality in tests/test_redact_repetition.py."""
@@ -311,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": dd.dedup_spans,
         "neardup_clusters": dd.neardup_clusters,
         "dedup_minhash_incremental": _dedup_incremental_query,
+        "embed_documents": _embed_documents_query,
         # similarity search (brute-force baseline + IVF scale path)
         "knn_cosine": lib.knn_cosine,
         "knn_cosine_ivf": _knn_ivf_query,

@@ -30,10 +30,12 @@ def list_column_to_matrix(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
         raise ValueError(
             f"ragged list column: {flat.size} values over {n} rows")
     dim = flat.size // n
-    # offsets must be uniform for the reshape to be row-aligned
-    offsets = np.asarray(col.offsets)
-    if not (np.diff(offsets) == dim).all():
-        raise ValueError("list column has non-uniform lengths")
+    # a FixedSizeListArray is uniform by type; variable list columns
+    # must prove uniform offsets for the reshape to be row-aligned
+    if not pa.types.is_fixed_size_list(col.type):
+        offsets = np.asarray(col.offsets)
+        if not (np.diff(offsets) == dim).all():
+            raise ValueError("list column has non-uniform lengths")
     return flat.reshape(n, dim)
 
 

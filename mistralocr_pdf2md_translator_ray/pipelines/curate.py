@@ -69,10 +69,13 @@ def _write_documents(ds: "rd.Dataset", d: str,
 
 
 def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
-                  seq_tokens: int = 512, seed: int = 0) -> dict:
+                  seq_tokens: int = 512, seed: int = 0,
+                  embed_dim: int | None = None) -> dict:
     """Run (or resume) the staged curation job; returns the manifest
     {stage: row_count}. Completed stages (``_SUCCESS`` present) are
-    skipped without re-reading their inputs."""
+    skipped without re-reading their inputs. ``embed_dim`` adds the
+    optional text->embedding stage (stages/embed.py) producing the
+    embeddings.parquet the ANN / embedding-near-dup family consumes."""
     from ..stages.dedup import dedup_minhash, dedup_spans
     from ..stages.joins import cogroup
     from ..stages.textstats import redact_documents
@@ -141,4 +144,17 @@ def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
     meta4 = json.load(open(os.path.join(d4, _SUCCESS), encoding="utf-8"))
     manifest["order"] = meta4["rows"]
     manifest["sequences"] = meta4.get("sequences", 0)
+
+    # ---- stage 5 (optional): text -> embedding table ------------------
+    if embed_dim is not None:
+        from ..stages.embed import embed_documents
+
+        d5 = _stage_dir(out_dir, "embed")
+        if not _done(d5):
+            n = _write_documents(
+                embed_documents(d4, dim=embed_dim, seed=seed), d5,
+                filename="embeddings.parquet")
+            _mark(d5, {"rows": n})
+        manifest["embed"] = json.load(
+            open(os.path.join(d5, _SUCCESS), encoding="utf-8"))["rows"]
     return manifest

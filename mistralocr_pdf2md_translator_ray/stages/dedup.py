@@ -723,10 +723,16 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
     # probe dim from the parquet schema (fixed-size list) or one
-    # driver-side record batch — never a Ray execution round trip
+    # driver-side record batch — never a Ray execution round trip.
+    # emb_path may be a directory (embed_corpus output): any one file
+    # carries the schema.
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(emb_path)
+    probe_path = emb_path
+    if os.path.isdir(emb_path):
+        probe_path = os.path.join(emb_path, sorted(
+            f for f in os.listdir(emb_path) if f.endswith(".parquet"))[0])
+    pf = pq.ParquetFile(probe_path)
     etype = pf.schema_arrow.field("embedding").type
     if pa.types.is_fixed_size_list(etype):
         dim = etype.list_size
