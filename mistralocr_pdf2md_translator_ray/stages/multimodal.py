@@ -435,7 +435,8 @@ def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
         m = rdf.merge(ldf[["doc_id"]].drop_duplicates(),
                       on="doc_id", how="inner")
         return m[["conv_id", "turn_idx", "payload_id", "dhash",
-                  "decode_status"]]
+                  "decode_status"]].astype(
+            {"turn_idx": "int32", "dhash": "int64"})
 
     def as_doc_rows(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -447,16 +448,33 @@ def neardup_images(payloads: "rd.Dataset", max_hamming: int = 4,
             "decode_status": t["decode_status"],
         })
 
+    # Both sides declare the FULL shared schema with explicit dummies
+    # (the tfidf-salted-join rule): a null-filled int64 column in the
+    # co-group's pandas union coerces through float64, which is LOSSY
+    # above 2^53 — most 64-bit dhash values. Caught by the query
+    # schema-pin test (turn_idx/dhash read back as double).
+    _full = pa.schema([("doc_id", pa.int64()), ("conv_id", pa.string()),
+                       ("turn_idx", pa.int32()),
+                       ("payload_id", pa.string()),
+                       ("dhash", pa.int64()),
+                       ("decode_status", pa.string())])
+
+    def pad_kept(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "conv_id": pa.array([""] * n, pa.string()),
+            "turn_idx": pa.array(np.full(n, -1, np.int32), pa.int32()),
+            "payload_id": pa.array([""] * n, pa.string()),
+            "dhash": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "decode_status": pa.array([""] * n, pa.string()),
+        })
+
     return cogroup(
-        kept,
+        kept.map_batches(pad_kept, batch_format="pyarrow"),
         hashed.map_batches(as_doc_rows, batch_format="pyarrow"),
         on=["doc_id"],
         merge_fn=back,
-        left_schema=pa.schema([("doc_id", pa.int64())]),
-        right_schema=pa.schema([("doc_id", pa.int64()),
-                                ("conv_id", pa.string()),
-                                ("turn_idx", pa.int32()),
-                                ("payload_id", pa.string()),
-                                ("dhash", pa.int64()),
-                                ("decode_status", pa.string())]),
+        left_schema=_full,
+        right_schema=_full,
     )

@@ -782,6 +782,19 @@ class TestImageDhash:
         assert len(ids & {"p1", "p2"}) == 1  # exactly one of the pair
         assert len(kept) == 2
         assert set(kept["decode_status"]) == {"ok"}
+        # dhash survives the cogroup at full 64-bit precision (a null-
+        # coerced float64 column would corrupt values above 2^53) and
+        # the key columns keep their types
+        from mistralocr_pdf2md_translator_ray.stages.multimodal import (
+            payload_dhash,
+        )
+
+        assert kept["dhash"].dtype == np.int64
+        assert kept["turn_idx"].dtype == np.int32
+        truth = payload_dhash(rd.from_arrow(tbl)).to_pandas() \
+            .set_index("payload_id")["dhash"]
+        for _, r in kept.iterrows():
+            assert r["dhash"] == truth[r["payload_id"]]
 
     def test_fake_rung_exact_dup_only(self, ray_session):
         from mistralocr_pdf2md_translator_ray.stages.multimodal import (
