@@ -91,11 +91,17 @@ def crc32_part_ids(col: "pa.Array | pa.ChunkedArray",
     contract — see module docstring), but the per-row Python loop is
     avoided by dictionary-encoding first: conv_ids repeat across every
     turn of a conversation, so the crc runs once per UNIQUE key and a
-    vectorized gather fans it back out."""
+    vectorized gather fans it back out. Non-string key columns (e.g.
+    int64 doc_id) hash their canonical decimal string — stable across
+    runs by the same contract."""
     import zlib
+
+    import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        col = pc.cast(col, pa.string())
     enc = col.dictionary_encode()
     uniq = enc.dictionary.to_pylist()
     pids = np.fromiter(

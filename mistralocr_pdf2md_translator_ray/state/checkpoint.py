@@ -131,17 +131,31 @@ def run_checkpointed(
     n_partitions: int = 16,
     hash_cols: list[str] | None = None,
     input_fragment: str = "",
+    data_name: str = "data",
 ) -> "rd.Dataset":
     """Run ``transform(ds_partition_subset)`` for partitions missing
     from the lineage manifest, then return the full checkpointed output
-    as a (lazy) Dataset over ``<ckpt>/data``.
+    as a (lazy) Dataset over ``<ckpt>/<data_name>``.
 
-    ``transform`` must preserve the ``part_id`` column it receives.
-    Completed partitions are never recomputed or rewritten.
+    ``transform`` must preserve the ``part_id`` column it receives
+    (re-deriving it from the key via ``add_part_id`` is equivalent —
+    part_id is a pure function of the key). Completed partitions are
+    never recomputed or rewritten. ``data_name`` lets a caller give the
+    data directory a consumer-meaningful name (curate stages use
+    ``documents.parquet`` so each stage stays readable by the
+    standalone query of the same name).
     """
     hash_cols = hash_cols or ["conv_id", "turn_idx", "md", "status"]
-    data_dir = os.path.join(ckpt_dir, "data")
+    data_dir = os.path.join(ckpt_dir, data_name)
     os.makedirs(data_dir, exist_ok=True)
+
+    # purge strays that aren't partition dirs (a crashed writer or a
+    # foreign file dropped into the data root would pollute the
+    # returned read while escaping per-partition invalidation)
+    for entry in os.listdir(data_dir):
+        if not entry.startswith("part_id="):
+            p = os.path.join(data_dir, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
     lineage = load_lineage(ckpt_dir)
 

@@ -83,11 +83,57 @@ class TestCurateCorpus:
         _os.remove(_os.path.join(d4, "_SUCCESS"))  # simulate crash
         stray = _os.path.join(d4, "documents.parquet", "zz_stale.parquet")
         target = _os.path.join(out, "spans", "documents.parquet")
-        src = next(f for f in _os.listdir(target) if f.endswith(".parquet"))
-        shutil.copy(_os.path.join(target, src), stray)
+        src = next(
+            _os.path.join(r, f) for r, _, fs in _os.walk(target)
+            for f in fs if f.endswith(".parquet"))
+        shutil.copy(src, stray)
         m2 = curate_corpus(SF, out, span_tokens=8)
         assert m2 == m                      # counts unchanged
         assert not _os.path.exists(stray)   # stale file purged
+
+    def test_partition_granular_resume_within_stage(self, run):
+        """Kill-mid-stage semantics: wipe ONE partition's lineage entry
+        + data from the scrub stage; resume must recompute only that
+        partition — every other partition's files stay byte-untouched
+        (mtimes unchanged) — and restore identical content."""
+        import json
+        import shutil
+
+        out, m = run
+        d1 = os.path.join(out, "scrub")
+        data = os.path.join(d1, "documents.parquet")
+        before = pq.read_table(data).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+
+        # simulate a crash that lost partition 3 mid-stage
+        victim = 3
+        lineage_path = os.path.join(d1, "_lineage.json")
+        lineage = json.load(open(lineage_path))
+        assert str(victim) in lineage
+        victim_entry = lineage[str(victim)]
+        del lineage[str(victim)]
+        json.dump(lineage, open(lineage_path, "w"))
+        shutil.rmtree(os.path.join(data, f"part_id={victim}"))
+        os.remove(os.path.join(d1, "_SUCCESS"))
+
+        untouched = {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(data) for f in fs}
+
+        m2 = curate_corpus(SF, out, span_tokens=8)
+        assert m2 == m
+
+        # survivors never rewritten
+        for path, mtime in untouched.items():
+            assert os.path.getmtime(path) == mtime, path
+        # victim partition restored with identical content
+        after = pq.read_table(data).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)
+        # and its lineage entry is back, matching the original readback
+        lineage2 = json.load(open(lineage_path))
+        assert (lineage2[str(victim)]["content_hash"]
+                == victim_entry["content_hash"])
 
     def test_final_order_deterministic(self, run, tmp_path):
         out, m = run

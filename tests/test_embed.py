@@ -142,5 +142,8 @@ class TestEmbedStage:
         assert manifest["embed"] == manifest["order"]
         emb = rd.read_parquet(
             os.path.join(out, "embed", "embeddings.parquet")).to_pandas()
-        assert set(emb.columns) == {"vec_id", "embedding"}
+        # part_id is the hive resume-partition column of the
+        # checkpointed stage layout; consumers read (vec_id, embedding)
+        assert {"vec_id", "embedding"} <= set(emb.columns)
+        assert set(emb.columns) <= {"vec_id", "embedding", "part_id"}
         assert len(emb) == manifest["order"]
