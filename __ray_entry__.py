@@ -105,6 +105,50 @@ def _knn_ivf_indexed_query(sf_dir: str) -> Any:
     return knn_cosine_ivf_indexed(idx, qv, nprobe=3, exclude_vec_id=0)
 
 
+def _knn_ivf_appended_query(sf_dir: str) -> Any:
+    """Incremental-ANN path: build the IVF index on a 90% 'old' split,
+    append the 10% 'daily' shard with frozen centroids
+    (append_to_ivf_index — O(new) work, indexed corpus never re-read),
+    then answer from the appended index. Rows-only; full-probe equality
+    with brute force over the concatenated corpus is pinned in
+    tests/test_dedup_similarity.py::TestIvfAppend."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mistralocr_pdf2md_translator_ray.stages.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_cosine_ivf_indexed,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_ivf_app_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh split + index each run
+    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
+    os.makedirs(old_dir)
+    os.makedirs(new_dir)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    is_new = pa.array(emb["vec_id"].to_numpy() % 10 == 5)
+    pq.write_table(emb.filter(pc.invert(is_new)),
+                   os.path.join(old_dir, "embeddings.parquet"))
+    pq.write_table(emb.filter(is_new),
+                   os.path.join(new_dir, "embeddings.parquet"))
+    idx = os.path.join(root, "index")
+    build_ivf_index(old_dir, idx, n_centroids=8, seed=5)
+    append_to_ivf_index(new_dir, idx)
+    qt = emb.filter(pc.equal(emb["vec_id"], pa.scalar(0, pa.int64())))
+    qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+    return knn_cosine_ivf_indexed(idx, qv, nprobe=3, exclude_vec_id=0)
+
+
 def _dedup_incremental_query(sf_dir: str) -> Any:
     """Incremental near-dup against a persisted band index: split the
     documents table into an 'old' corpus (90%) and a daily 'new' shard
@@ -325,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lib.knn_cosine,
         "knn_cosine_ivf": _knn_ivf_query,
         "knn_cosine_ivf_indexed": _knn_ivf_indexed_query,
+        "knn_cosine_ivf_appended": _knn_ivf_appended_query,
         # multimodal plumbing (decode stubbed; see stages/multimodal.py)
         "payload_features": _payload_features_query,
         "payload_resize": _payload_resize_query,

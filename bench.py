@@ -283,6 +283,10 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
           lambda: _entry.queries()["knn_cosine_ivf_indexed"](SF_DIR))
     timed("neardup_images",
           lambda: _entry.queries()["neardup_images"](SF_DIR))
+    timed("embed_documents",
+          lambda: _entry.queries()["embed_documents"](SF_DIR))
+    timed("dedup_minhash_incremental",
+          lambda: _entry.queries()["dedup_minhash_incremental"](SF_DIR))
 
 
 def _burn(_):

@@ -218,6 +218,41 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 8,
     return C
 
 
+def append_to_ivf_index(new_dir: str, index_dir: str) -> None:
+    """Add NEW vectors to a persisted IVF index without retraining —
+    the growing-corpus increment for ANN (the pattern
+    ``dedup_minhash_incremental`` uses for near-dup): centroids stay
+    FROZEN (the IVF contract — inverted lists grow, the geometry they
+    were assigned under doesn't move, so old partitions remain valid
+    without being touched), each new batch assigns against the saved
+    centroid matrix and its rows land as new files inside the matching
+    ``cid=`` partitions (Ray's partitioned writer appends
+    uniquely-named files; existing bytes are never rewritten). Work is
+    O(new vectors); the indexed corpus is never re-read.
+
+    Contract: vec_ids are globally unique across the indexed corpus
+    and every increment (the tables' invariant). After enough growth
+    skews the partition balance, rebuild with ``build_ivf_index``
+    (optionally ``refine_iters>0``) — same trade as any IVF system.
+    """
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    c_ref = ray.put(C)
+
+    ds = rd.read_parquet(os.path.join(new_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cc = ray.get(c_ref)
+        M = list_column_to_matrix(t["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cid = (M @ Cc.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("cid", pa.array(cid))
+
+    ds.map_batches(assign, batch_format="pyarrow",
+                   batch_size=8192).write_parquet(index_dir,
+                                                  partition_cols=["cid"])
+
+
 def knn_cosine_ivf_indexed(index_dir: str, query_vec: np.ndarray,
                            k: int = 10, nprobe: int = 3,
                            exclude_vec_id: int | None = None) -> "rd.Dataset":

@@ -370,6 +370,81 @@ class TestIvfIndex:
         assert len(set(brute["vec_id"]) & set(part["vec_id"])) >= 7
 
 
+class TestIvfAppend:
+    def test_append_matches_full_rebuild_at_full_probe(self, tmp_path,
+                                                       ray_session):
+        """Grow-the-corpus increment: build on 90%, append the 10%
+        'daily' shard; at full probe the appended index answers exactly
+        the brute-force top-k over the CONCATENATED corpus, appended
+        rows sit in the partition of their nearest frozen centroid,
+        and no pre-existing index file is rewritten."""
+        import os
+
+        import pandas as pd
+
+        from mistralocr_pdf2md_translator_ray.functions.vectors import (
+            list_column_to_matrix,
+        )
+        from mistralocr_pdf2md_translator_ray.pipelines.library import knn_cosine
+        from mistralocr_pdf2md_translator_ray.stages.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            knn_cosine_ivf_indexed,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        is_new = pa.array(emb["vec_id"].to_numpy() % 10 == 5)
+        old_dir, new_dir = tmp_path / "old", tmp_path / "new"
+        old_dir.mkdir(), new_dir.mkdir()
+        pq.write_table(emb.filter(pa.compute.invert(is_new)),
+                       str(old_dir / "embeddings.parquet"))
+        pq.write_table(emb.filter(is_new),
+                       str(new_dir / "embeddings.parquet"))
+
+        idx = str(tmp_path / "ivf")
+        C = build_ivf_index(str(old_dir), idx, n_centroids=4, seed=5)
+        pre = {os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+               for r, _, fs in os.walk(idx) for f in fs}
+        append_to_ivf_index(str(new_dir), idx)
+
+        # old index bytes untouched, new rows present
+        for path, mtime in pre.items():
+            assert os.path.getmtime(path) == mtime, path
+        part_files = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(idx) for f in fs
+            if f.endswith(".parquet"))
+        all_rows = pa.concat_tables(
+            pq.read_table(f).append_column(
+                "cid", pa.array([int(f.split("cid=")[1].split("/")[0])]
+                                * pq.ParquetFile(f).metadata.num_rows,
+                                pa.int32()))
+            for f in part_files)
+        assert all_rows.num_rows == emb.num_rows
+
+        # appended rows are in their nearest-frozen-centroid partition
+        newly = all_rows.filter(
+            pa.array(all_rows["vec_id"].to_numpy() % 10 == 5))
+        M = list_column_to_matrix(newly["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        want = (M @ C.T).argmax(axis=1)
+        got = np.asarray(
+            [int(c) for c in newly["cid"].to_numpy(zero_copy_only=False)])
+        assert (got == want).all()
+
+        # full probe over the appended index == brute force over the
+        # CONCATENATED corpus, byte-for-byte
+        qt = emb.filter(
+            pa.compute.equal(emb["vec_id"], pa.scalar(0, pa.int64())))
+        qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+        brute = knn_cosine(sf).to_pandas().reset_index(drop=True)
+        full = knn_cosine_ivf_indexed(
+            idx, qv, nprobe=4,
+            exclude_vec_id=0).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(brute, full, check_exact=True)
+
+
 class TestKmeansRefine:
     def _write_clusters(self, d, n_clusters=4, per=300, dim=8, spread=0.05):
         """Well-separated planted clusters on the unit sphere."""

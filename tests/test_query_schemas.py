@@ -434,6 +434,10 @@ EXPECTED = {
         "vec_id": "int64",
         "score": "double",
     },
+    "knn_cosine_ivf_appended": {
+        "vec_id": "int64",
+        "score": "double",
+    },
     "payload_features": {
         "conv_id": "string",
         "turn_idx": "int32",
