@@ -105,6 +105,45 @@ def _knn_ivf_indexed_query(sf_dir: str) -> Any:
     return knn_cosine_ivf_indexed(idx, qv, nprobe=3, exclude_vec_id=0)
 
 
+def _dedup_exact_incremental_query(sf_dir: str) -> Any:
+    """Incremental EXACT dedup against the persisted content-hash
+    index (append-only LSM of per-increment minima): same 90/10 split
+    as the minhash variant; returns the increment's delta
+    (doc_id, n_dups, evicted_doc_id). Rows-only; merged-view parity
+    with from-scratch dedup_exact on the concatenated corpus is pinned
+    in tests/test_dedup_incremental.py::TestIncrementalExactDedup."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+        build_exact_index,
+        dedup_exact_incremental,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_dedup_xinc_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh split + index each run
+    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
+    os.makedirs(old_dir)
+    os.makedirs(new_dir)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    is_new = pa.array(docs["doc_id"].to_numpy() % 10 == 0)
+    pq.write_table(docs.filter(np.logical_not(is_new)),
+                   os.path.join(old_dir, "documents.parquet"))
+    pq.write_table(docs.filter(is_new),
+                   os.path.join(new_dir, "documents.parquet"))
+    idx = os.path.join(root, "index")
+    build_exact_index(old_dir, idx)
+    return dedup_exact_incremental(new_dir, idx)
+
+
 def _knn_ivf_appended_query(sf_dir: str) -> Any:
     """Incremental-ANN path: build the IVF index on a 90% 'old' split,
     append the 10% 'daily' shard with frozen centroids
@@ -364,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": dd.dedup_spans,
         "neardup_clusters": dd.neardup_clusters,
         "dedup_minhash_incremental": _dedup_incremental_query,
+        "dedup_exact_incremental": _dedup_exact_incremental_query,
         "embed_documents": _embed_documents_query,
         # similarity search (brute-force baseline + IVF scale path)
         "knn_cosine": lib.knn_cosine,

@@ -282,3 +282,185 @@ def dedup_minhash_incremental(new_dir: str, index_dir: str,
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return rd.read_parquet(os.path.join(index_dir, "kept"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental EXACT dedup against a persisted content-hash index
+# ---------------------------------------------------------------------------
+#
+# The exact-dedup analog of the band index above, with an LSM twist that
+# keeps increments APPEND-ONLY: the index is a log of per-increment
+# per-hash minima ``(h, doc_id=min, n_dups)`` partitioned by
+# ``hb = hash(h) % parts`` (sorted by (hb, h) within each write so
+# row-group stats serve pushdown probes). A hash may appear once per
+# increment that saw it; readers merge with keep-min / sum — exactly the
+# ``dedup_exact`` first-writer-wins contract — so an increment never
+# rewrites an existing byte (O(new) work, like ``append_to_ivf_index``),
+# and the merged index content IS the kept set of a from-scratch
+# ``dedup_exact`` over everything indexed (pytest-pinned, including
+# keeper eviction when a new doc_id undercuts an old keeper).
+
+_EXACT_PARTS = 64
+
+_EXACT_SCHEMA = pa.schema([("h", pa.string()), ("doc_id", pa.int64()),
+                           ("n_dups", pa.int64())])
+
+
+def _exact_minima(docs_dir: str, num_parts: int) -> "rd.Dataset":
+    """One corpus -> (h, hb, doc_id=min, n_dups) per distinct text —
+    the same partial/bucketed-combine shape as ``library.dedup_exact``
+    (shared ``content_hash`` kernel keeps the two paths equal)."""
+    from ..functions.textstats import content_hash
+
+    ds = rd.read_parquet(os.path.join(docs_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pa.array([content_hash(s) for s in t["text"].to_pylist()],
+                     pa.string())
+        df = pa.table({"doc_id": t["doc_id"], "h": h}).to_pandas()
+        agg = df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        out = pa.Table.from_pandas(agg, preserve_index=False)
+        return out.append_column("hb", bucket_ids(out["h"], num_parts))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            hb=("hb", "first"), doc_id=("doc_id", "min"),
+            n_dups=("n_dups", "sum"))
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out[["h", "hb", "doc_id", "n_dups"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("hb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _append_exact_rows(minima: "rd.Dataset", data_dir: str,
+                       num_parts: int) -> None:
+    """Append one increment's minima into the ``hb=`` partitions,
+    (hb, h)-sorted so probe reads prune row groups."""
+    os.makedirs(data_dir, exist_ok=True)
+    minima.sort(["hb", "h"]).write_parquet(data_dir,
+                                           partition_cols=["hb"])
+
+
+def build_exact_index(sf_dir: str, index_dir: str,
+                      num_parts: int = _EXACT_PARTS) -> None:
+    """Persist the exact-dedup state of ``sf_dir`` (layout above)."""
+    tmp = index_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    _append_exact_rows(_exact_minima(sf_dir, num_parts),
+                       os.path.join(tmp, "data"), num_parts)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"num_parts": num_parts,
+                   "doc_paths": [os.path.abspath(
+                       os.path.join(sf_dir, "documents.parquet"))]}, f)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp, index_dir)
+
+
+def dedup_exact_incremental(new_dir: str, index_dir: str,
+                            update_index: bool = True) -> "rd.Dataset":
+    """Exact-dedup NEW shards against a ``build_exact_index`` index.
+
+    Returns the DELTA for every text hash present in the new shard:
+    ``(doc_id, n_dups, evicted_doc_id)`` — the merged keeper (min over
+    old ∪ new ids), the merged duplicate count, and the old keeper's id
+    when the new shard evicted it (else null). The old corpus is never
+    scanned: each hash-bucket group task reads only its own ``hb=``
+    partition filtered to the group's hashes. ``update_index=True``
+    (default) appends the increment's minima — O(new) bytes, no
+    existing file rewritten — so increments chain and
+    ``exact_index_kept`` over the updated index equals a from-scratch
+    ``dedup_exact`` on the concatenated corpus."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    num_parts = meta["num_parts"]
+    new_doc_path = os.path.abspath(
+        os.path.join(new_dir, "documents.parquet"))
+    if new_doc_path in meta["doc_paths"]:
+        raise ValueError(f"{new_doc_path} is already in the index")
+
+    data_dir = os.path.join(index_dir, "data")
+    minima = _exact_minima(new_dir, num_parts).materialize()
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        part = os.path.join(data_dir, f"hb={int(g['hb'].iloc[0])}")
+        old = None
+        if os.path.isdir(part):
+            keys = g["h"].drop_duplicates().tolist()
+            t = pq.read_table(part, columns=["h", "doc_id", "n_dups"],
+                              filters=[("h", "in", keys)])
+            if t.num_rows:
+                # LSM merge of prior increments' rows for these hashes
+                old = t.to_pandas().groupby("h", as_index=False).agg(
+                    doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+        m = g[["h", "doc_id", "n_dups"]]
+        if old is None or old.empty:
+            out = m.copy()
+            out["evicted_doc_id"] = pd.Series(
+                [pd.NA] * len(out), dtype="Int64")
+            return out[["doc_id", "n_dups", "evicted_doc_id"]].astype(
+                {"doc_id": "int64", "n_dups": "int64"})
+        j = m.merge(old, on="h", how="left", suffixes=("", "_old"))
+        has_old = j["doc_id_old"].notna()
+        keeper = j["doc_id"].where(
+            ~has_old | (j["doc_id"] < j["doc_id_old"]), j["doc_id_old"])
+        evicted = j["doc_id_old"].where(
+            has_old & (j["doc_id"] < j["doc_id_old"]), pd.NA)
+        return pd.DataFrame({
+            "doc_id": keeper.astype("int64"),
+            "n_dups": (j["n_dups"]
+                       + j["n_dups_old"].fillna(0)).astype("int64"),
+            "evicted_doc_id": evicted.astype("Int64"),
+        })
+
+    from .joins import coalesce_blocks
+
+    delta_schema = pa.schema([("doc_id", pa.int64()),
+                              ("n_dups", pa.int64()),
+                              ("evicted_doc_id", pa.int64())])
+
+    def pin_schema(t: pa.Table) -> pa.Table:
+        # an increment with zero evictions leaves evicted_doc_id all-NA,
+        # which pandas->Arrow renders as the null type — cast pins int64
+        return t.select([f.name for f in delta_schema]).cast(delta_schema)
+
+    delta = (
+        minima.repartition(coalesce_blocks())
+        .groupby("hb")
+        .map_groups(probe, batch_format="pandas")
+        .map_batches(pin_schema, batch_format="pyarrow")
+    ).materialize()  # probe reads must finish BEFORE the append below
+
+    if update_index:
+        _append_exact_rows(minima, data_dir, num_parts)
+        meta["doc_paths"].append(new_doc_path)
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    return delta
+
+
+def exact_index_kept(index_dir: str) -> "rd.Dataset":
+    """Merged view of the index: (doc_id, n_dups) per distinct text —
+    bitwise the rows a from-scratch ``dedup_exact`` over every indexed
+    corpus returns. The merge is per-``hb``-bucket (the partition
+    column comes back from the hive layout), so no task holds more
+    than one bucket."""
+    ds = rd.read_parquet(os.path.join(index_dir, "data"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out[["doc_id", "n_dups"]]
+
+    return ds.groupby("hb").map_groups(per_bucket, batch_format="pandas")

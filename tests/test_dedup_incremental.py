@@ -204,3 +204,111 @@ class TestIncrementalDedup:
         got = set(zip(pairs["a"], pairs["b"]))
         assert (1, 30) in got      # near pair collides in >= 1 band
         assert (2, 31) in got      # exact dup collides in every band
+
+
+class TestIncrementalExactDedup:
+    """Incremental exact dedup against the persisted content-hash index
+    (append-only LSM of per-increment minima): merged-view parity with
+    from-scratch dedup_exact on the concatenated corpus, keeper
+    eviction, chaining, and the append-only / never-rescan properties."""
+
+    def _corpora(self, tmp_path):
+        # old: 10/11 exact dups (keeper 10), 12 distinct
+        old_rows = [(10, BASE), (11, BASE), (12, OTHER)]
+        # new: 20 dup of old BASE group (dropped, count grows); 21
+        # fresh; 5 dup of OTHER with a SMALLER id than old keeper 12 ->
+        # EVICTS 12; 22+23 new-new dups
+        new_rows = [(20, BASE), (21, "fresh text"), (5, OTHER),
+                    (22, THIRD), (23, THIRD)]
+        old = _mkcorpus(tmp_path, "xold", old_rows)
+        new = _mkcorpus(tmp_path, "xnew", new_rows)
+        concat = _mkcorpus(tmp_path, "xconcat", old_rows + new_rows)
+        return old, new, concat
+
+    def _df(self, ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def test_delta_and_merged_view_match_from_scratch(self, tmp_path,
+                                                      ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import dedup_exact
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_exact_index,
+            dedup_exact_incremental,
+            exact_index_kept,
+        )
+
+        old, new, concat = self._corpora(tmp_path)
+        idx = str(tmp_path / "xidx")
+        build_exact_index(old, idx)
+
+        pre = {os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+               for r, _, fs in os.walk(os.path.join(idx, "data"))
+               for f in fs}
+        delta = self._df(dedup_exact_incremental(new, idx))
+        # append-only: no pre-existing index byte rewritten
+        for path, mtime in pre.items():
+            assert os.path.getmtime(path) == mtime, path
+
+        # planted facts in the delta: BASE group keeper stays 10 with
+        # count 3; OTHER keeper becomes 5 EVICTING 12; THIRD pair keeps
+        # 22; fresh 21 is a singleton
+        by_id = delta.set_index("doc_id")
+        assert by_id.loc[10, "n_dups"] == 3
+        assert pd.isna(by_id.loc[10, "evicted_doc_id"])
+        assert by_id.loc[5, "n_dups"] == 2
+        assert by_id.loc[5, "evicted_doc_id"] == 12
+        assert by_id.loc[22, "n_dups"] == 2
+        assert by_id.loc[21, "n_dups"] == 1
+
+        # merged view == from-scratch dedup_exact over the concat corpus
+        got = self._df(exact_index_kept(idx))
+        exp = self._df(dedup_exact(concat))
+        pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+    def test_old_corpus_never_read(self, tmp_path, ray_session):
+        """The exact path consults only the index: corrupting EVERY old
+        text after the build must not change the increment."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_exact_index,
+            dedup_exact_incremental,
+        )
+
+        old, new, _ = self._corpora(tmp_path)
+        idx = str(tmp_path / "xidx2")
+        build_exact_index(old, idx)
+        baseline = self._df(dedup_exact_incremental(new, idx,
+                                                    update_index=False))
+        _write_docs(os.path.join(old, "documents.parquet"),
+                    [(10, "x"), (11, "y"), (12, "z")])
+        again = self._df(dedup_exact_incremental(new, idx,
+                                                 update_index=False))
+        pd.testing.assert_frame_equal(again, baseline)
+
+    def test_chained_increments_match_from_scratch(self, tmp_path,
+                                                   ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.library import dedup_exact
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_exact_index,
+            dedup_exact_incremental,
+            exact_index_kept,
+        )
+
+        r0 = [(1, BASE), (2, OTHER)]
+        r1 = [(10, BASE), (11, THIRD)]
+        r2 = [(20, THIRD), (21, "tiny"), (0, OTHER)]  # 0 evicts 2
+        c0 = _mkcorpus(tmp_path, "xc0", r0)
+        c1 = _mkcorpus(tmp_path, "xc1", r1)
+        c2 = _mkcorpus(tmp_path, "xc2", r2)
+        call = _mkcorpus(tmp_path, "xcall", r0 + r1 + r2)
+
+        idx = str(tmp_path / "xidxc")
+        build_exact_index(c0, idx)
+        dedup_exact_incremental(c1, idx)
+        delta2 = self._df(dedup_exact_incremental(c2, idx))
+        assert delta2.set_index("doc_id").loc[0, "evicted_doc_id"] == 2
+
+        got = self._df(exact_index_kept(idx))
+        exp = self._df(dedup_exact(call))
+        pd.testing.assert_frame_equal(got, exp, check_like=True)
+        with pytest.raises(ValueError, match="already in the index"):
+            dedup_exact_incremental(c1, idx)

@@ -422,6 +422,11 @@ EXPECTED = {
     "dedup_minhash_incremental": {
         "doc_id": "int64",
     },
+    "dedup_exact_incremental": {
+        "doc_id": "int64",
+        "n_dups": "int64",
+        "evicted_doc_id": "int64",
+    },
     "embed_documents": {
         "vec_id": "int64",
         "embedding": "fixed_size_list<item: float>[64]",
