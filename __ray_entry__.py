@@ -269,6 +269,52 @@ def _curate_corpus_query(sf_dir: str) -> Any:
     return rd.from_pandas(pd.DataFrame([curate_corpus(sf_dir, out)]))
 
 
+def _curate_increment_query(sf_dir: str) -> Any:
+    """Growing-corpus curation: delivery 1 = 90% of documents,
+    delivery 2 = the 10% 'daily' shard — scrub, GLOBAL near-dup via the
+    persisted band index, per-delivery span dedup + order/pack. Returns
+    one row per delivery (manifest) plus the post-delivery-2 evicted
+    count — rows-only; the reconciliation invariant
+    (shipped − evicted == from-scratch kept on the concatenated corpus)
+    is pinned in tests/test_curate.py::TestCurateIncrement."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mistralocr_pdf2md_translator_ray.pipelines.curate import (
+        curate_evicted,
+        curate_increment,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_curate_inc_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh state each run
+    d1, d2 = os.path.join(root, "del1"), os.path.join(root, "del2")
+    os.makedirs(d1)
+    os.makedirs(d2)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    is_new = pa.array(docs["doc_id"].to_numpy() % 10 == 0)
+    pq.write_table(docs.filter(np.logical_not(is_new)),
+                   os.path.join(d1, "documents.parquet"))
+    pq.write_table(docs.filter(is_new),
+                   os.path.join(d2, "documents.parquet"))
+    out = os.path.join(root, "out")
+    m1 = curate_increment(d1, out)
+    m2 = curate_increment(d2, out)
+    n_evicted = curate_evicted(out).count()
+    rows = pd.DataFrame([{**m1, "evicted": 0},
+                         {**m2, "evicted": n_evicted}])
+    return rd.from_pandas(rows)
+
+
 def _neardup_images_query(sf_dir: str) -> Any:
     """Perceptual near-dup image removal (dHash + derived-band
     blocking) over the synthetic payload table — rows-only; real-PNG
@@ -416,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _frame_sample_query,
         "neardup_images": _neardup_images_query,
         "curate_corpus": _curate_corpus_query,
+        "curate_increment": _curate_increment_query,
     }
     # Driver-window ordering: the driver SQL-checks a bounded prefix of
     # this dict, so every oracle-backed query must precede the

@@ -287,6 +287,8 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
           lambda: _entry.queries()["embed_documents"](SF_DIR))
     timed("dedup_minhash_incremental",
           lambda: _entry.queries()["dedup_minhash_incremental"](SF_DIR))
+    timed("dedup_exact_incremental",
+          lambda: _entry.queries()["dedup_exact_incremental"](SF_DIR))
 
 
 def _burn(_):

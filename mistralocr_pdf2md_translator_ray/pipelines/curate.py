@@ -272,3 +272,181 @@ def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
         manifest["embed"] = json.load(
             open(os.path.join(d5, _SUCCESS), encoding="utf-8"))["rows"]
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation: one delivery at a time against accumulated state
+# ---------------------------------------------------------------------------
+
+def curate_increment(new_dir: str, out_dir: str, span_tokens: int = 16,
+                     seq_tokens: int = 512, seed: int = 0,
+                     threshold: float = 0.8) -> dict:
+    """Process ONE new corpus delivery (``<new_dir>/documents.parquet``)
+    against the accumulated curation state — the growing-corpus
+    composition of the suite's incremental pieces, i.e. what a daily
+    100-TB prep run actually executes instead of re-curating history:
+
+      scrub  : PII redaction of the NEW docs only
+      dedup  : MinHash near-dup against the PERSISTED band index
+               (``dedup_minhash_incremental`` — old corpus probed by
+               pushdown, never scanned; first delivery builds the
+               index), folding the delivery in so deliveries chain
+      spans  : sub-document span dedup WITHIN the delivery's survivors
+      order  : deterministic seeded shuffle key + packing manifest for
+               the delivery
+
+    Outputs land under ``<out_dir>/increments/inc=<k>/`` (one directory
+    per delivery — the resumable-output shape); the dedup index lives
+    under ``<out_dir>/state/dedup_index``. Span dedup and packing are
+    per-delivery by design (the industry-standard semantics: shipped
+    sequences are immutable); document-level near-dup is GLOBAL across
+    all deliveries via the index.
+
+    No retraction: a later delivery can evict a previously-shipped doc
+    from the global kept set (a bridge near-dup), but already-written
+    increment outputs are immutable — ``curate_evicted(out_dir)``
+    derives the current retraction list from on-disk state alone
+    (shipped ∪ minus index kept), so the reconciliation invariant
+
+        shipped_survivors − evicted == from-scratch kept on the
+        concatenated corpus
+
+    holds at every point (pytest-pinned). Returns the delivery manifest
+    {increment, scrub, kept, spans, order, sequences}. A delivery
+    crashed mid-run is healed on retry: the scrub rewrite is clean, and
+    an index that already folded the delivery is detected (its doc path
+    is in the index meta) and its kept set reused instead of re-folded.
+    """
+    import shutil
+
+    from ..stages.dedup import dedup_spans
+    from ..stages.dedup_incremental import (
+        build_dedup_index,
+        dedup_minhash_incremental,
+    )
+    from ..stages.joins import cogroup
+    from ..stages.textstats import RedactActor
+    from . import library as lib
+
+    state = os.path.join(out_dir, "state")
+    index = os.path.join(state, "dedup_index")
+    incs = os.path.join(out_dir, "increments")
+    os.makedirs(incs, exist_ok=True)
+
+    new_doc_path = os.path.abspath(os.path.join(new_dir,
+                                                "documents.parquet"))
+    # one directory per delivery; a crashed (no _SUCCESS) dir for the
+    # SAME input is resumed, otherwise the next ordinal is allocated
+    inc_dir = None
+    for d in sorted(os.listdir(incs)):
+        meta_p = os.path.join(incs, d, "_input.json")
+        if os.path.exists(meta_p):
+            with open(meta_p, encoding="utf-8") as f:
+                if json.load(f)["doc_path"] == new_doc_path:
+                    inc_dir = os.path.join(incs, d)
+                    break
+    if inc_dir is None:
+        inc_dir = os.path.join(incs, f"inc={len(os.listdir(incs)):05d}")
+        os.makedirs(inc_dir)
+        with open(os.path.join(inc_dir, "_input.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump({"doc_path": new_doc_path}, f)
+    if _done(inc_dir):
+        return json.load(open(os.path.join(inc_dir, _SUCCESS),
+                              encoding="utf-8"))
+
+    manifest: dict[str, int] = {"increment": int(
+        os.path.basename(inc_dir).split("=")[1])}
+
+    # ---- scrub the delivery ------------------------------------------
+    scrub_dir = os.path.join(inc_dir, "scrub")
+    red = rd.read_parquet(new_doc_path, columns=["doc_id", "text"]) \
+        .map_batches(RedactActor, batch_format="pyarrow", batch_size=4096,
+                     concurrency=(1, 4), num_cpus=1) \
+        .map_batches(lambda t: pa.table({"doc_id": t["doc_id"],
+                                         "text": t["text_redacted"]}),
+                     batch_format="pyarrow")
+    manifest["scrub"] = _write_documents(red, scrub_dir)
+
+    # ---- global near-dup via the persisted index ---------------------
+    if not os.path.exists(os.path.join(index, "meta.json")):
+        build_dedup_index(scrub_dir, index, threshold=threshold)
+        kept = rd.read_parquet(os.path.join(index, "kept"))
+    else:
+        with open(os.path.join(index, "meta.json"), encoding="utf-8") as f:
+            folded = os.path.abspath(
+                os.path.join(scrub_dir, "documents.parquet")) in \
+                json.load(f)["doc_paths"]
+        if folded:  # crashed after the fold on a previous attempt
+            kept = rd.read_parquet(os.path.join(index, "kept"))
+        else:
+            kept = dedup_minhash_incremental(scrub_dir, index,
+                                             update_index=True)
+
+    # survivors = this delivery's docs ∩ global kept
+    def semi(ldf, rdf):
+        return ldf.merge(rdf[["doc_id"]].drop_duplicates(),
+                         on="doc_id")[["doc_id", "text"]]
+
+    survivors = cogroup(
+        rd.read_parquet(os.path.join(scrub_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]),
+        kept, ["doc_id"], semi,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+    dedup_dir = os.path.join(inc_dir, "dedup")
+    manifest["kept"] = _write_documents(survivors, dedup_dir)
+
+    # ---- span dedup within the delivery ------------------------------
+    spans_dir = os.path.join(inc_dir, "spans")
+    sp = dedup_spans(dedup_dir, span_tokens=span_tokens).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "text": t["text_deduped"]}),
+        batch_format="pyarrow")
+    manifest["spans"] = _write_documents(sp, spans_dir)
+
+    # ---- deterministic order + packing for the delivery --------------
+    order_dir = os.path.join(inc_dir, "order")
+    manifest["order"] = _write_documents(
+        lib.shuffle_documents(spans_dir, seed=seed), order_dir)
+    manifest["sequences"] = _write_documents(
+        lib.pack_documents(spans_dir, seq_tokens=seq_tokens), order_dir,
+        filename="packing.parquet")
+
+    _mark(inc_dir, manifest)
+    return manifest
+
+
+def curate_evicted(out_dir: str) -> "rd.Dataset":
+    """Docs shipped by SOME completed increment that the global kept
+    set no longer contains (bridge near-dups discovered by later
+    deliveries). Derived purely from on-disk state — shipped survivor
+    ids anti-joined against the index kept set — so it is correct after
+    any crash. Returns Dataset[doc_id]."""
+    from ..stages.joins import cogroup
+
+    incs = os.path.join(out_dir, "increments")
+    # expand dirs to files: Ray's reader resolves a single dir
+    # recursively but not a list of dirs
+    shipped_files = [
+        os.path.join(dd, f)
+        for d in sorted(os.listdir(incs))
+        if os.path.exists(os.path.join(incs, d, _SUCCESS))
+        for dd in [os.path.join(incs, d, "dedup", "documents.parquet")]
+        for f in sorted(os.listdir(dd)) if f.endswith(".parquet")
+    ]
+    kept = rd.read_parquet(
+        os.path.join(out_dir, "state", "dedup_index", "kept"))
+    shipped = rd.read_parquet(shipped_files, columns=["doc_id"])
+
+    def anti(ldf, rdf):
+        out = ldf[~ldf["doc_id"].isin(rdf["doc_id"])]
+        return out[["doc_id"]].drop_duplicates()
+
+    return cogroup(
+        shipped, kept, ["doc_id"], anti,
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )

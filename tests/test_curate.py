@@ -146,3 +146,130 @@ class TestCurateCorpus:
         pd.testing.assert_frame_equal(
             a.sort_values("shuffle_key").reset_index(drop=True),
             b.sort_values("shuffle_key").reset_index(drop=True))
+
+
+BASE = (
+    "The quick brown fox jumps over the lazy dog while the rain in "
+    "spain falls mainly on the plain and every good boy deserves "
+    "fudge because the five boxing wizards jump quickly tonight."
+)
+OTHER = (
+    "Completely different content about distributed dataflow engines "
+    "streaming arrow batches through actor pools with salted hash "
+    "partitioning and per-partition lineage checkpoints for resume."
+)
+
+
+def _mkdocs(tmp_path, name, rows):
+    import pyarrow as pa
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+class TestCurateIncrement:
+    """Growing-corpus curation: per-delivery outputs, global near-dup
+    via the persisted index, and the reconciliation invariant
+    shipped − evicted == from-scratch kept on the concatenated corpus."""
+
+    def _corpora(self, tmp_path):
+        # delivery 1: a/b distinct at threshold 0.7; delivery 2 brings
+        # a BRIDGE near both -> one cluster, evicting shipped doc 2
+        a = BASE
+        b = BASE.replace("quick brown fox", "swift auburn fox") \
+                .replace("lazy dog", "idle dog") \
+                .replace("boxing wizards", "sparring wizards") \
+                .replace("rain in spain", "rain in maine")
+        bridge = BASE.replace("lazy dog", "idle dog") \
+                     .replace("boxing wizards", "sparring wizards")
+        r1 = [(1, a), (2, b), (3, OTHER)]
+        r2 = [(30, bridge), (31, OTHER + " appended tail v2"),
+              (32, "fresh short text")]
+        c1 = _mkdocs(tmp_path, "del1", r1)
+        c2 = _mkdocs(tmp_path, "del2", r2)
+        concat = _mkdocs(tmp_path, "delall", r1 + r2)
+        return c1, c2, concat
+
+    def test_reconciliation_invariant(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.curate import (
+            curate_evicted,
+            curate_increment,
+        )
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_minhash
+
+        c1, c2, concat = self._corpora(tmp_path)
+        out = str(tmp_path / "inc_out")
+        m1 = curate_increment(c1, out, span_tokens=8, threshold=0.7)
+        assert m1["increment"] == 0
+        assert m1["scrub"] == 3 and m1["kept"] == 3   # a,b distinct yet
+        assert m1["spans"] == m1["kept"] == m1["order"]
+
+        m2 = curate_increment(c2, out, span_tokens=8, threshold=0.7)
+        assert m2["increment"] == 1
+        # bridge 30 absorbed into {1,2}-cluster -> dropped; 31 near 3
+        exp_concat = sorted(
+            r["doc_id"] for r in dedup_minhash(concat,
+                                               threshold=0.7).take_all())
+        shipped = set()
+        for d in ("inc=00000", "inc=00001"):
+            t = pq.read_table(os.path.join(out, "increments", d, "dedup",
+                                           "documents.parquet"),
+                              columns=["doc_id"])
+            shipped |= set(t["doc_id"].to_pylist())
+        evicted = {r["doc_id"]
+                   for r in curate_evicted(out).take_all()}
+        assert sorted(shipped - evicted) == exp_concat
+        assert 2 in evicted                  # the planted bridge eviction
+
+    def test_rerun_is_a_noop_and_crash_heals(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.curate import (
+            curate_increment,
+        )
+
+        c1, c2, _ = self._corpora(tmp_path)
+        out = str(tmp_path / "inc_out2")
+        curate_increment(c1, out, span_tokens=8, threshold=0.7)
+        m2 = curate_increment(c2, out, span_tokens=8, threshold=0.7)
+
+        # completed increments are immutable on re-run
+        inc1 = os.path.join(out, "increments", "inc=00000")
+        before = {os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+                  for r, _, fs in os.walk(inc1) for f in fs}
+        again = curate_increment(c1, out, span_tokens=8, threshold=0.7)
+        assert again == curate_increment(c1, out, span_tokens=8,
+                                         threshold=0.7)
+        after = {os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+                 for r, _, fs in os.walk(inc1) for f in fs}
+        assert after == before
+
+        # crash AFTER the index fold but before _SUCCESS: retry detects
+        # the delivery already folded, reuses the kept set, and finishes
+        # with the identical manifest
+        inc2 = os.path.join(out, "increments", "inc=00001")
+        os.remove(os.path.join(inc2, "_SUCCESS"))
+        m2b = curate_increment(c2, out, span_tokens=8, threshold=0.7)
+        assert m2b == m2
+
+    def test_span_stage_matches_standalone_per_delivery(self, tmp_path,
+                                                        ray_session):
+        from mistralocr_pdf2md_translator_ray.pipelines.curate import (
+            curate_increment,
+        )
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_spans
+
+        c1, _, _ = self._corpora(tmp_path)
+        out = str(tmp_path / "inc_out3")
+        curate_increment(c1, out, span_tokens=8, threshold=0.7)
+        inc = os.path.join(out, "increments", "inc=00000")
+        exp = dedup_spans(os.path.join(inc, "dedup"), span_tokens=8) \
+            .to_pandas().set_index("doc_id")["text_deduped"]
+        got = pq.read_table(os.path.join(inc, "spans",
+                                         "documents.parquet")) \
+            .to_pandas().set_index("doc_id")
+        assert len(got) == len(exp)
+        assert (got["text"] == exp.reindex(got.index)).all()

@@ -483,6 +483,15 @@ EXPECTED = {
         "order": "int64",
         "sequences": "int64",
     },
+    "curate_increment": {
+        "increment": "int64",
+        "scrub": "int64",
+        "kept": "int64",
+        "spans": "int64",
+        "order": "int64",
+        "sequences": "int64",
+        "evicted": "int64",
+    },
 }
 
 
