@@ -49,3 +49,12 @@ def topk_prune(ids: np.ndarray, sims: np.ndarray, k: int):
         return ids, sims
     order = np.lexsort((ids, -sims))[:k]
     return ids[order], sims[order]
+
+
+def normalize_rows(M: np.ndarray) -> np.ndarray:
+    """Row-L2-normalize with zero-vector safety: an all-zero row (the
+    deterministic embedder emits one for texts shorter than its n-gram
+    width) stays all-zero instead of becoming a NaN row that poisons
+    argmax assignment and top-k sorts downstream."""
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.maximum(norms, 1e-300)

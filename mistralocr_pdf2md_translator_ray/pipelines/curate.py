@@ -44,12 +44,16 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ..state.checkpoint import add_part_id, load_lineage, run_checkpointed
+from ..state.checkpoint import (
+    add_part_id,
+    filter_to_partitions,
+    load_lineage,
+    run_checkpointed,
+)
 
 _SUCCESS = "_SUCCESS"
 _N_PARTS = 16
@@ -95,14 +99,9 @@ def _ckpt_stage(src: "rd.Dataset", transform, stage_dir: str,
 
 def _filter_parts(ds: "rd.Dataset", missing: set[int]) -> "rd.Dataset":
     """Prune a globally-computed stage output to the partitions that
-    still need writing (resume path of the non-row-local stages)."""
-    want = np.fromiter(sorted(missing), dtype=np.int64, count=len(missing))
-
-    def keep(t: pa.Table) -> pa.Table:
-        pids = t["part_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(np.isin(pids, want)))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    still need writing (resume path of the non-row-local stages) —
+    the same rule run_checkpointed applies to its input."""
+    return filter_to_partitions(ds, missing)
 
 
 def _write_documents(ds: "rd.Dataset", d: str,
@@ -257,7 +256,7 @@ def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
                     HashedNgramEmbedder,
                     fn_constructor_kwargs={"dim": embed_dim, "seed": seed},
                     batch_format="pyarrow", batch_size=2048,
-                    concurrency=(1, 8), num_cpus=1)
+                    concurrency=(1, 4), num_cpus=1)
                 # vec_id == doc_id by the embedder's contract, so the
                 # re-derived part_id matches the input partitioning
                 return add_part_id(emb, "vec_id", _N_PARTS)

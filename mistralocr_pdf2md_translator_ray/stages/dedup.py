@@ -541,8 +541,10 @@ def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
         tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"],
                             filters=[("vec_id", "in", need)])
         ids = tbl["vec_id"].to_numpy()
-        M = list_column_to_matrix(tbl["embedding"]).astype(np.float64)
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        from ..functions.vectors import normalize_rows
+
+        M = normalize_rows(list_column_to_matrix(
+            tbl["embedding"]).astype(np.float64))
         pos = {int(v): i for i, v in enumerate(ids)}
         ia = np.fromiter((pos[int(x)] for x in a), np.int64, count=len(a))
         ib = np.fromiter((pos[int(x)] for x in b), np.int64, count=len(b))
@@ -745,12 +747,20 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
     weights = (1 << np.arange(planes_per_band)).astype(np.int64)
 
     def bucketize(t: pa.Table) -> pa.Table:
-        from ..functions.vectors import list_column_to_matrix
+        from ..functions.vectors import list_column_to_matrix, normalize_rows
 
-        P = ray.get(planes_ref)
         M = list_column_to_matrix(t["embedding"])
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
         ids = t["vec_id"].to_numpy()
+        # zero-norm vectors (degenerate embeddings — e.g. sub-n-gram
+        # texts) have no direction: cosine to anything is undefined, so
+        # they are never candidates and always kept. Banding them would
+        # collide EVERY zero vector in one bucket per band (identical
+        # sign pattern) — a planted O(n^2) pair bomb.
+        nz = np.linalg.norm(M, axis=1) > 0
+        if not nz.all():
+            M, ids = M[nz], ids[nz]
+        P = ray.get(planes_ref)
+        M = normalize_rows(M)
         key_parts, id_parts = [], []
         for band in range(P.shape[0]):
             bits = (M @ P[band]) > 0

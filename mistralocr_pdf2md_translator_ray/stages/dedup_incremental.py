@@ -84,6 +84,25 @@ def _doc_ids(docs: "rd.Dataset") -> "rd.Dataset":
         batch_format="pyarrow")
 
 
+def _distinct_ids(ids: "rd.Dataset", num_buckets: int = 64) -> "rd.Dataset":
+    """Bucketed DISTINCT over a doc_id Dataset (ids-only shuffle). The
+    kept∪new universe can hold repeats when a crash-retry re-presents
+    an increment whose docs the labels/kept swap already folded —
+    without this, `_keep_after_pairs` would emit those docs twice."""
+
+    def add_b(t: pa.Table) -> pa.Table:
+        return t.append_column("b", bucket_ids(t["doc_id"], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["doc_id"]].drop_duplicates()
+
+    return (
+        ids.map_batches(add_b, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def _labels_as_edges(labels: "rd.Dataset") -> "rd.Dataset":
     """(doc_id, cluster_id) -> (a, b) star edges for union-find (self
     edges for roots are harmless no-ops)."""
@@ -127,6 +146,50 @@ def _write_bands(bands: "rd.Dataset", bands_dir: str,
     bands.map_batches(add_bb, batch_format="pyarrow") \
         .sort(["bb", "band_key"]) \
         .write_parquet(bands_dir, partition_cols=["bb"])
+
+
+def _purge_tagged(live_dir: str, tag: str) -> None:
+    """Remove every ``<tag>_``-prefixed file under a partitioned dir —
+    the leftovers of a crashed previous append attempt of this tag."""
+    if not os.path.isdir(live_dir):
+        return
+    for root, _dirs, files in os.walk(live_dir):
+        for f in files:
+            if f.startswith(f"{tag}_"):
+                os.remove(os.path.join(root, f))
+
+
+def _staged_partition_append(write_fn, live_dir: str, tag: str) -> None:
+    """Crash-idempotent append into a hive-partitioned parquet dir.
+
+    ``write_fn(staging_dir)`` produces the increment's partitioned
+    files in a tag-scoped staging dir; any ``<tag>_``-prefixed files a
+    crashed previous attempt left in the live partitions are purged;
+    then the staged files move in under deterministic ``<tag>_<i>``
+    names. A retry after a crash at ANY point (staging, purge,
+    mid-move) reproduces the same final state — the double-append a
+    bare ``write_parquet(live_dir)`` retry would cause cannot happen.
+    The caller must derive ``tag`` deterministically from the index
+    state (increment ordinal), which is stable across retries because
+    the meta update is always LAST."""
+    staging = f"{live_dir}.staging-{tag}"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    write_fn(staging)
+    os.makedirs(live_dir, exist_ok=True)
+    _purge_tagged(live_dir, tag)
+    for part in sorted(os.listdir(staging)):
+        src_part = os.path.join(staging, part)
+        if not os.path.isdir(src_part):
+            continue
+        dst_part = os.path.join(live_dir, part)
+        os.makedirs(dst_part, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(src_part))):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(src_part, f),
+                           os.path.join(dst_part,
+                                        f"{tag}_{i:05d}.parquet"))
+    shutil.rmtree(staging)
 
 
 def build_dedup_index(sf_dir: str, index_dir: str, threshold: float = 0.8,
@@ -186,9 +249,16 @@ def _probe_band_index(new_bands: "rd.Dataset", bands_dir: str,
         part = os.path.join(bands_dir, f"bb={int(g['bb'].iloc[0])}")
         if not os.path.isdir(part):
             return empty
+        # list files explicitly: a partition emptied by the crash-heal
+        # purge reads as an empty-schema dataset and the filter
+        # wouldn't bind
+        files = [os.path.join(part, f) for f in os.listdir(part)
+                 if f.endswith(".parquet")]
+        if not files:
+            return empty
         keys = g["band_key"].drop_duplicates().tolist()
         old = pq.read_table(
-            part, columns=["band_key", "doc_id"],
+            files, columns=["band_key", "doc_id"],
             filters=[("band_key", "in", keys)]).to_pandas()
         if old.empty:
             return empty
@@ -231,6 +301,12 @@ def dedup_minhash_incremental(new_dir: str, index_dir: str,
     if new_doc_path in meta["doc_paths"]:
         raise ValueError(f"{new_doc_path} is already in the index")
 
+    # heal a crashed previous fold attempt of THIS increment: its tag
+    # is the increment ordinal (stable across retries — meta is written
+    # LAST), and its partial band files must not be probed as "old"
+    tag = f"inc{len(meta['doc_paths']):05d}"
+    _purge_tagged(os.path.join(index_dir, "bands"), tag)
+
     new_docs = _read_docs(new_dir)
     new_bands = _minhash_band_rows(new_docs, seed)
     # the band rows feed two consumers (new-new pairing, index probe) —
@@ -258,16 +334,20 @@ def dedup_minhash_incremental(new_dir: str, index_dir: str,
     old_labels = rd.read_parquet(os.path.join(index_dir, "labels"))
     old_kept = rd.read_parquet(os.path.join(index_dir, "kept"))
     edges = verified.union(_labels_as_edges(old_labels))
-    universe = old_kept.union(_doc_ids(new_docs))
+    universe = _distinct_ids(old_kept.union(_doc_ids(new_docs)))
     kept = _keep_after_pairs(universe, edges)
 
     if not update_index:
         return kept
 
-    # fold the increment in: bands append; labels/kept rewrite via tmp
-    # dirs + atomic swap (a crash mid-update leaves the old index or
-    # the new one, never a torn mix of labels and kept)
-    _write_bands(new_bands, os.path.join(index_dir, "bands"), num_parts)
+    # fold the increment in: bands append (tag-staged — a crash-retry
+    # purges and re-moves the same files instead of double-appending);
+    # labels/kept rewrite via tmp dirs + atomic swap (a crash
+    # mid-update leaves the old index or the new one, never a torn mix
+    # of labels and kept)
+    _staged_partition_append(
+        lambda d: _write_bands(new_bands, d, num_parts),
+        os.path.join(index_dir, "bands"), tag)
     new_labels = cluster_labels(edges)  # materializes internally
     for name, ds, schema in (("labels", new_labels, _LABELS_SCHEMA),
                              ("kept", kept, _KEPT_SCHEMA)):
@@ -388,6 +468,11 @@ def dedup_exact_incremental(new_dir: str, index_dir: str,
         raise ValueError(f"{new_doc_path} is already in the index")
 
     data_dir = os.path.join(index_dir, "data")
+    # heal a crashed previous fold of THIS increment before probing —
+    # its partial rows must not be merged as "old" (they'd double-count
+    # n_dups and make every new doc collide with itself)
+    tag = f"inc{len(meta['doc_paths']):05d}"
+    _purge_tagged(data_dir, tag)
     minima = _exact_minima(new_dir, num_parts).materialize()
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
@@ -395,9 +480,14 @@ def dedup_exact_incremental(new_dir: str, index_dir: str,
 
         part = os.path.join(data_dir, f"hb={int(g['hb'].iloc[0])}")
         old = None
-        if os.path.isdir(part):
+        # list files explicitly: a partition emptied by the crash-heal
+        # purge (its only file was tagged) reads as an empty-schema
+        # dataset, and the h-filter would fail to bind
+        files = [os.path.join(part, f) for f in os.listdir(part)
+                 if f.endswith(".parquet")] if os.path.isdir(part) else []
+        if files:
             keys = g["h"].drop_duplicates().tolist()
-            t = pq.read_table(part, columns=["h", "doc_id", "n_dups"],
+            t = pq.read_table(files, columns=["h", "doc_id", "n_dups"],
                               filters=[("h", "in", keys)])
             if t.num_rows:
                 # LSM merge of prior increments' rows for these hashes
@@ -410,17 +500,25 @@ def dedup_exact_incremental(new_dir: str, index_dir: str,
                 [pd.NA] * len(out), dtype="Int64")
             return out[["doc_id", "n_dups", "evicted_doc_id"]].astype(
                 {"doc_id": "int64", "n_dups": "int64"})
-        j = m.merge(old, on="h", how="left", suffixes=("", "_old"))
-        has_old = j["doc_id_old"].notna()
-        keeper = j["doc_id"].where(
-            ~has_old | (j["doc_id"] < j["doc_id_old"]), j["doc_id_old"])
-        evicted = j["doc_id_old"].where(
-            has_old & (j["doc_id"] < j["doc_id_old"]), pd.NA)
+        # nullable-Int64 merge: a plain left-merge fills the missing
+        # side as float64, which silently rounds doc_ids above 2^53 —
+        # the exact hazard class the repo pins elsewhere. All id
+        # arithmetic below stays in int64.
+        j = m.merge(old.astype({"doc_id": "Int64", "n_dups": "Int64"}),
+                    on="h", how="left", suffixes=("", "_old"))
+        has_old = j["doc_id_old"].notna().to_numpy()
+        new_ids = j["doc_id"].to_numpy()
+        old_ids = j["doc_id_old"].fillna(
+            np.iinfo(np.int64).max).astype("int64").to_numpy()
+        new_wins = new_ids < old_ids  # ids unique -> never equal
+        evict_mask = new_wins & has_old
         return pd.DataFrame({
-            "doc_id": keeper.astype("int64"),
-            "n_dups": (j["n_dups"]
+            "doc_id": np.where(new_wins, new_ids, old_ids),
+            "n_dups": (j["n_dups"].astype("Int64")
                        + j["n_dups_old"].fillna(0)).astype("int64"),
-            "evicted_doc_id": evicted.astype("Int64"),
+            "evicted_doc_id": pd.Series(
+                pd.array(old_ids, dtype="Int64")).where(
+                    pd.Series(evict_mask), pd.NA),
         })
 
     from .joins import coalesce_blocks
@@ -442,7 +540,12 @@ def dedup_exact_incremental(new_dir: str, index_dir: str,
     ).materialize()  # probe reads must finish BEFORE the append below
 
     if update_index:
-        _append_exact_rows(minima, data_dir, num_parts)
+        # tag-staged append: crash-retry purges + re-moves the same
+        # files, never double-appends; meta (the doc_paths guard and
+        # the tag's ordinal source) is written LAST
+        _staged_partition_append(
+            lambda d: _append_exact_rows(minima, d, num_parts),
+            data_dir, tag)
         meta["doc_paths"].append(new_doc_path)
         with open(os.path.join(index_dir, "meta.json"), "w") as f:
             json.dump(meta, f)

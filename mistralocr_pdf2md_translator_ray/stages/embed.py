@@ -51,7 +51,9 @@ def embed_documents(sf_dir: str, dim: int = 64,
         fn_constructor_kwargs={"dim": dim, "seed": seed},
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=(1, 8),
+        # cap (1, 4): actor pools must leave >=1/4 of CPUs for the
+        # task stages (write/read) or small sessions livelock
+        concurrency=(1, 4),
         num_cpus=1,
     )
 

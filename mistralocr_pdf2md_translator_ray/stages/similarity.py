@@ -19,7 +19,11 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..functions.vectors import list_column_to_matrix, topk_prune
+from ..functions.vectors import (
+    list_column_to_matrix,
+    normalize_rows,
+    topk_prune,
+)
 
 
 def _centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
@@ -41,8 +45,8 @@ def _centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
         got += t.num_rows
         if got >= sample_target * 4:
             break
-    M = list_column_to_matrix(pa.concat_tables(chunks)["embedding"])
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    M = normalize_rows(
+        list_column_to_matrix(pa.concat_tables(chunks)["embedding"]))
     take = rng.choice(len(M), size=min(len(M), sample_target), replace=False)
     sample = M[np.sort(take)]
     C = sample[np.sort(rng.choice(len(sample), size=n_centroids, replace=False))].copy()
@@ -51,8 +55,8 @@ def _centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
         for c in range(n_centroids):
             members = sample[assign == c]
             if len(members):
-                v = members.mean(axis=0)
-                C[c] = v / np.linalg.norm(v)
+                C[c] = normalize_rows(
+                    members.mean(axis=0, keepdims=True))[0]
     return C
 
 
@@ -93,8 +97,7 @@ def kmeans_refine(sf_dir: str, C0: np.ndarray, n_iters: int = 2,
 
         def partial(t: pa.Table, _ref=ref) -> pa.Table:
             Cc = ray.get(_ref)
-            M = list_column_to_matrix(t["embedding"])
-            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            M = normalize_rows(list_column_to_matrix(t["embedding"]))
             sims = M @ Cc.T
             a = sims.argmax(axis=1)
             obj = float(sims[np.arange(len(a)), a].sum())
@@ -155,8 +158,7 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
     def score(t: pa.Table) -> pa.Table:
         Cc, v, probe = ray.get(ref)
         ids = t["vec_id"].to_numpy()
-        M = list_column_to_matrix(t["embedding"])
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        M = normalize_rows(list_column_to_matrix(t["embedding"]))
         assign = (M @ Cc.T).argmax(axis=1)
         mask = np.isin(assign, probe) & (ids != 0)
         ids, M = ids[mask], M[mask]
@@ -183,6 +185,31 @@ def knn_cosine_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8,
 # the corpus is never re-scanned per query).
 # ---------------------------------------------------------------------------
 
+def _assign_and_write(C: np.ndarray, src_dir: str,
+                      index_dir: str) -> None:
+    """Stream ``<src_dir>/embeddings.parquet`` through per-batch
+    nearest-centroid assignment against the broadcast matrix and write
+    the rows into ``<index_dir>/cid=<k>/`` partitions. The ONE
+    assignment rule for both the initial build and every append —
+    appended vectors must partition under exactly the rules the
+    indexed corpus did, or probes silently miss rows."""
+    c_ref = ray.put(C)
+
+    ds = rd.read_parquet(os.path.join(src_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cc = ray.get(c_ref)
+        M = normalize_rows(list_column_to_matrix(t["embedding"]))
+        cid = (M @ Cc.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("cid", pa.array(cid))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow",
+                   batch_size=8192).write_parquet(index_dir,
+                                                  partition_cols=["cid"])
+
+
 def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 8,
                     seed: int = 5, refine_iters: int = 0) -> np.ndarray:
     """Partition the embeddings table by nearest-centroid id into
@@ -198,22 +225,7 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 8,
     C = _centroids(sf_dir, n_centroids, seed)
     if refine_iters > 0:
         C, _ = kmeans_refine(sf_dir, C, n_iters=refine_iters)
-    c_ref = ray.put(C)
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-
-    def assign(t: pa.Table) -> pa.Table:
-        Cc = ray.get(c_ref)
-        M = list_column_to_matrix(t["embedding"])
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        cid = (M @ Cc.T).argmax(axis=1).astype(np.int32)
-        return t.append_column("cid", pa.array(cid))
-
-    os.makedirs(index_dir, exist_ok=True)
-    ds.map_batches(assign, batch_format="pyarrow",
-                   batch_size=8192).write_parquet(index_dir,
-                                                  partition_cols=["cid"])
+    _assign_and_write(C, sf_dir, index_dir)
     np.save(os.path.join(index_dir, "centroids.npy"), C)
     return C
 
@@ -236,21 +248,7 @@ def append_to_ivf_index(new_dir: str, index_dir: str) -> None:
     (optionally ``refine_iters>0``) — same trade as any IVF system.
     """
     C = np.load(os.path.join(index_dir, "centroids.npy"))
-    c_ref = ray.put(C)
-
-    ds = rd.read_parquet(os.path.join(new_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-
-    def assign(t: pa.Table) -> pa.Table:
-        Cc = ray.get(c_ref)
-        M = list_column_to_matrix(t["embedding"])
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        cid = (M @ Cc.T).argmax(axis=1).astype(np.int32)
-        return t.append_column("cid", pa.array(cid))
-
-    ds.map_batches(assign, batch_format="pyarrow",
-                   batch_size=8192).write_parquet(index_dir,
-                                                  partition_cols=["cid"])
+    _assign_and_write(C, new_dir, index_dir)
 
 
 def knn_cosine_ivf_indexed(index_dir: str, query_vec: np.ndarray,
@@ -280,8 +278,7 @@ def knn_cosine_ivf_indexed(index_dir: str, query_vec: np.ndarray,
     def score(t: pa.Table) -> pa.Table:
         v = ray.get(q_ref)
         ids = t["vec_id"].to_numpy()
-        M = list_column_to_matrix(t["embedding"])
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        M = normalize_rows(list_column_to_matrix(t["embedding"]))
         sims = M @ v
         if exclude_vec_id is not None:
             mask = ids != exclude_vec_id

@@ -68,6 +68,24 @@ def add_part_id(ds: "rd.Dataset", key: str, n_partitions: int) -> "rd.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def filter_to_partitions(ds: "rd.Dataset", missing) -> "rd.Dataset":
+    """Keep only rows whose ``part_id`` is in ``missing`` (vectorized
+    np.isin). The ONE pruning rule for resume paths — run_checkpointed
+    and the curate stages must agree on the part_id dtype/derivation
+    contract, so they share this helper."""
+    import numpy as np
+
+    want_set = set(missing)
+    want = np.fromiter(sorted(want_set), dtype=np.int64,
+                       count=len(want_set))
+
+    def keep(t: pa.Table) -> pa.Table:
+        pids = t["part_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(pids, want)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def load_lineage(ckpt_dir: str) -> dict[int, dict]:
     path = os.path.join(ckpt_dir, _LINEAGE)
     if not os.path.exists(path):
@@ -193,19 +211,9 @@ def run_checkpointed(
     missing = [p for p in range(n_partitions) if p not in lineage]
 
     if missing:
-        import numpy as np
-
         missing_set = set(missing)
-        want = np.fromiter(sorted(missing_set), dtype=np.int64,
-                           count=len(missing_set))
-
-        def only_missing(t: pa.Table) -> pa.Table:
-            pids = t["part_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return t.filter(pa.array(np.isin(pids, want)))
-
-        pending = add_part_id(ds, key, n_partitions).map_batches(
-            only_missing, batch_format="pyarrow"
-        )
+        pending = filter_to_partitions(
+            add_part_id(ds, key, n_partitions), missing_set)
         import inspect
 
         if "missing" in inspect.signature(transform).parameters:

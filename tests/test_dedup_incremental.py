@@ -312,3 +312,103 @@ class TestIncrementalExactDedup:
         pd.testing.assert_frame_equal(got, exp, check_like=True)
         with pytest.raises(ValueError, match="already in the index"):
             dedup_exact_incremental(c1, idx)
+
+
+class TestIncrementalCrashRetry:
+    """Crash-retry idempotence of the index folds: re-running after a
+    crash that appended data but never reached the meta write must not
+    double-append (band rows / LSM minima), and doc_ids above 2^53 must
+    survive the exact probe's merge unrounded."""
+
+    def test_exact_retry_after_partial_fold_is_idempotent(self, tmp_path,
+                                                          ray_session):
+        import json as _json
+
+        from mistralocr_pdf2md_translator_ray.pipelines.library import dedup_exact
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_exact_index,
+            dedup_exact_incremental,
+            exact_index_kept,
+        )
+
+        old = _mkcorpus(tmp_path, "cr_old", [(1, BASE), (2, OTHER)])
+        new = _mkcorpus(tmp_path, "cr_new", [(10, BASE), (11, THIRD)])
+        concat = _mkcorpus(tmp_path, "cr_concat",
+                           [(1, BASE), (2, OTHER), (10, BASE),
+                            (11, THIRD)])
+        idx = str(tmp_path / "cr_idx")
+        build_exact_index(old, idx)
+        d1 = dedup_exact_incremental(new, idx).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+        # simulate "crashed after the append, before the meta write":
+        # undo only the meta record, leaving the appended files behind
+        meta_p = os.path.join(idx, "meta.json")
+        meta = _json.load(open(meta_p))
+        meta["doc_paths"].pop()
+        _json.dump(meta, open(meta_p, "w"))
+
+        d2 = dedup_exact_incremental(new, idx).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(d2, d1)  # delta not double-counted
+
+        got = exact_index_kept(idx).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp = dedup_exact(concat).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+    def test_minhash_retry_after_partial_fold_is_idempotent(
+            self, tmp_path, ray_session):
+        import json as _json
+
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_minhash
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_dedup_index,
+            dedup_minhash_incremental,
+        )
+
+        near = BASE.replace("lazy dog", "sleepy dog")
+        old = _mkcorpus(tmp_path, "mr_old", [(1, BASE), (2, OTHER)])
+        new = _mkcorpus(tmp_path, "mr_new", [(10, near), (11, THIRD)])
+        concat = _mkcorpus(tmp_path, "mr_concat",
+                           [(1, BASE), (2, OTHER), (10, near),
+                            (11, THIRD)])
+        idx = str(tmp_path / "mr_idx")
+        build_dedup_index(old, idx)
+        base_bands = rd.read_parquet(os.path.join(idx, "bands")).count()
+        dedup_minhash_incremental(new, idx, update_index=True)
+        once_bands = rd.read_parquet(os.path.join(idx, "bands")).count()
+
+        meta_p = os.path.join(idx, "meta.json")
+        meta = _json.load(open(meta_p))
+        meta["doc_paths"].pop()
+        _json.dump(meta, open(meta_p, "w"))
+
+        got = _kept(dedup_minhash_incremental(new, idx, update_index=True))
+        assert got == _kept(dedup_minhash(concat))
+        # band rows NOT double-appended by the retry
+        assert rd.read_parquet(os.path.join(idx, "bands")).count() \
+            == once_bands
+        assert once_bands > base_bands  # the increment itself did land
+
+    def test_exact_probe_is_int64_exact_above_2_53(self, tmp_path,
+                                                   ray_session):
+        """doc_ids beyond float64's integer range must come back exact:
+        a float-coercing merge would round 2^60+1 and 2^60+3 to the
+        same value, return a keeper that exists in neither corpus, and
+        lose the eviction."""
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_exact_index,
+            dedup_exact_incremental,
+        )
+
+        big_old, big_new = (1 << 60) + 3, (1 << 60) + 1
+        old = _mkcorpus(tmp_path, "big_old", [(big_old, BASE)])
+        new = _mkcorpus(tmp_path, "big_new", [(big_new, BASE)])
+        idx = str(tmp_path / "big_idx")
+        build_exact_index(old, idx)
+        delta = dedup_exact_incremental(new, idx).to_pandas()
+        assert delta["doc_id"].tolist() == [big_new]      # exact keeper
+        assert delta["evicted_doc_id"].tolist() == [big_old]
+        assert delta["n_dups"].tolist() == [2]

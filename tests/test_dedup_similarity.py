@@ -1108,3 +1108,63 @@ class TestDedupSpansEmptyDocs:
             assert got[i]["text_deduped"] == ""
             assert got[i]["n_spans_kept"] == 0
             assert got[i]["n_spans_dropped"] == 0
+
+
+class TestZeroVectorSafety:
+    """Zero-norm embeddings (the deterministic embedder emits them for
+    sub-n-gram texts) must not produce NaN scores/assignments, must not
+    collide into one quadratic LSH bucket, and are always kept by
+    embedding near-dup (cosine undefined -> never a candidate)."""
+
+    def _emb_dir(self, tmp_path, n_zero=5):
+        rng = np.random.default_rng(3)
+        good = rng.standard_normal((20, 8))
+        good[1] = good[0]  # one exact dup pair among the real vectors
+        M = np.vstack([good, np.zeros((n_zero, 8))])
+        d = tmp_path / "z"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(len(M)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M.astype(np.float32).ravel(), pa.float32()), 8),
+        }), str(d / "embeddings.parquet"))
+        return str(d), len(M)
+
+    def test_neardup_embedding_keeps_zero_vectors(self, tmp_path,
+                                                  ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import (
+            neardup_embedding,
+        )
+
+        d, n = self._emb_dir(tmp_path)
+        kept = sorted(r["doc_id"]
+                      for r in neardup_embedding(d, threshold=0.95).take_all())
+        assert 1 not in kept            # the planted dup still drops
+        assert 0 in kept
+        for z in range(20, n):          # every zero vector kept
+            assert z in kept
+
+    def test_ivf_assignment_has_no_nan(self, tmp_path, ray_session):
+        import os
+
+        from mistralocr_pdf2md_translator_ray.stages.similarity import (
+            build_ivf_index,
+            knn_cosine_ivf_indexed,
+        )
+
+        d, n = self._emb_dir(tmp_path)
+        idx = str(tmp_path / "zidx")
+        build_ivf_index(d, idx, n_centroids=4, seed=5)
+        part_rows = sum(
+            pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+            for r, _, fs in os.walk(idx) for f in fs
+            if f.endswith(".parquet"))
+        assert part_rows == n           # zero vectors landed somewhere
+
+        qt = pq.read_table(os.path.join(d, "embeddings.parquet"),
+                           filters=[("vec_id", "==", 0)])
+        qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+        res = knn_cosine_ivf_indexed(idx, qv, nprobe=4,
+                                     exclude_vec_id=0).to_pandas()
+        assert not res["score"].isna().any()
+        assert res.iloc[0]["vec_id"] == 1   # the exact dup tops the list
