@@ -80,6 +80,39 @@ def _knn_ivf_query(sf_dir: str) -> Any:
     return knn_cosine_ivf(sf_dir)
 
 
+def _split_corpus(sf_dir: str, prefix: str, table: str = "documents",
+                  columns: list | None = None, id_col: str = "doc_id",
+                  residue: int = 0) -> tuple:
+    """Shared scaffolding of the incremental-query family: split one
+    table into a 90% 'old' corpus and a 10% 'daily' shard
+    (``id % 10 == residue``) under a fresh /tmp root. Returns
+    (root, old_dir, new_dir)."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    columns = columns or ["doc_id", "text"]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh split each run
+    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
+    os.makedirs(old_dir)
+    os.makedirs(new_dir)
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                      columns=columns)
+    is_new = pa.array(t[id_col].to_numpy() % 10 == residue)
+    pq.write_table(t.filter(np.logical_not(is_new)),
+                   os.path.join(old_dir, f"{table}.parquet"))
+    pq.write_table(t.filter(is_new),
+                   os.path.join(new_dir, f"{table}.parquet"))
+    return root, old_dir, new_dir
+
+
 def _knn_ivf_indexed_query(sf_dir: str) -> Any:
     """Persisted-IVF path: build (or reuse) the partitioned index under
     /tmp, then answer from only the probed partitions."""
@@ -113,32 +146,13 @@ def _dedup_exact_incremental_query(sf_dir: str) -> Any:
     with from-scratch dedup_exact on the concatenated corpus is pinned
     in tests/test_dedup_incremental.py::TestIncrementalExactDedup."""
     import os
-    import shutil
-    import tempfile
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
         build_exact_index,
         dedup_exact_incremental,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"graft_dedup_xinc_{os.path.basename(os.path.normpath(sf_dir))}")
-    shutil.rmtree(root, ignore_errors=True)  # fresh split + index each run
-    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
-    os.makedirs(old_dir)
-    os.makedirs(new_dir)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    is_new = pa.array(docs["doc_id"].to_numpy() % 10 == 0)
-    pq.write_table(docs.filter(np.logical_not(is_new)),
-                   os.path.join(old_dir, "documents.parquet"))
-    pq.write_table(docs.filter(is_new),
-                   os.path.join(new_dir, "documents.parquet"))
+    root, old_dir, new_dir = _split_corpus(sf_dir, "graft_dedup_xinc")
     idx = os.path.join(root, "index")
     build_exact_index(old_dir, idx)
     return dedup_exact_incremental(new_dir, idx)
@@ -152,12 +166,8 @@ def _knn_ivf_appended_query(sf_dir: str) -> Any:
     with brute force over the concatenated corpus is pinned in
     tests/test_dedup_similarity.py::TestIvfAppend."""
     import os
-    import shutil
-    import tempfile
 
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from mistralocr_pdf2md_translator_ray.stages.similarity import (
@@ -166,24 +176,15 @@ def _knn_ivf_appended_query(sf_dir: str) -> Any:
         knn_cosine_ivf_indexed,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"graft_ivf_app_{os.path.basename(os.path.normpath(sf_dir))}")
-    shutil.rmtree(root, ignore_errors=True)  # fresh split + index each run
-    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
-    os.makedirs(old_dir)
-    os.makedirs(new_dir)
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    is_new = pa.array(emb["vec_id"].to_numpy() % 10 == 5)
-    pq.write_table(emb.filter(pc.invert(is_new)),
-                   os.path.join(old_dir, "embeddings.parquet"))
-    pq.write_table(emb.filter(is_new),
-                   os.path.join(new_dir, "embeddings.parquet"))
+    root, old_dir, new_dir = _split_corpus(
+        sf_dir, "graft_ivf_app", table="embeddings",
+        columns=["vec_id", "embedding"], id_col="vec_id", residue=5)
     idx = os.path.join(root, "index")
     build_ivf_index(old_dir, idx, n_centroids=8, seed=5)
     append_to_ivf_index(new_dir, idx)
-    qt = emb.filter(pc.equal(emb["vec_id"], pa.scalar(0, pa.int64())))
+    qt = pq.read_table(os.path.join(old_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", 0)])
     qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
     return knn_cosine_ivf_indexed(idx, qv, nprobe=3, exclude_vec_id=0)
 
@@ -195,32 +196,13 @@ def _dedup_incremental_query(sf_dir: str) -> Any:
     shard against it. Rows-only; kept-set parity with from-scratch runs
     on the concatenated corpus is pinned in tests/test_dedup_incremental.py."""
     import os
-    import shutil
-    import tempfile
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
         build_dedup_index,
         dedup_minhash_incremental,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"graft_dedup_inc_{os.path.basename(os.path.normpath(sf_dir))}")
-    shutil.rmtree(root, ignore_errors=True)  # fresh split + index each run
-    old_dir, new_dir = os.path.join(root, "old"), os.path.join(root, "new")
-    os.makedirs(old_dir)
-    os.makedirs(new_dir)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    is_new = pa.array(docs["doc_id"].to_numpy() % 10 == 0)
-    pq.write_table(docs.filter(np.logical_not(is_new)),
-                   os.path.join(old_dir, "documents.parquet"))
-    pq.write_table(docs.filter(is_new),
-                   os.path.join(new_dir, "documents.parquet"))
+    root, old_dir, new_dir = _split_corpus(sf_dir, "graft_dedup_inc")
     idx = os.path.join(root, "index")
     build_dedup_index(old_dir, idx)
     return dedup_minhash_incremental(new_dir, idx)
@@ -278,13 +260,8 @@ def _curate_increment_query(sf_dir: str) -> Any:
     (shipped − evicted == from-scratch kept on the concatenated corpus)
     is pinned in tests/test_curate.py::TestCurateIncrement."""
     import os
-    import shutil
-    import tempfile
 
-    import numpy as np
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from mistralocr_pdf2md_translator_ray.pipelines.curate import (
@@ -292,20 +269,7 @@ def _curate_increment_query(sf_dir: str) -> Any:
         curate_increment,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"graft_curate_inc_{os.path.basename(os.path.normpath(sf_dir))}")
-    shutil.rmtree(root, ignore_errors=True)  # fresh state each run
-    d1, d2 = os.path.join(root, "del1"), os.path.join(root, "del2")
-    os.makedirs(d1)
-    os.makedirs(d2)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    is_new = pa.array(docs["doc_id"].to_numpy() % 10 == 0)
-    pq.write_table(docs.filter(np.logical_not(is_new)),
-                   os.path.join(d1, "documents.parquet"))
-    pq.write_table(docs.filter(is_new),
-                   os.path.join(d2, "documents.parquet"))
+    root, d1, d2 = _split_corpus(sf_dir, "graft_curate_inc")
     out = os.path.join(root, "out")
     m1 = curate_increment(d1, out)
     m2 = curate_increment(d2, out)

@@ -55,6 +55,9 @@ def normalize_rows(M: np.ndarray) -> np.ndarray:
     """Row-L2-normalize with zero-vector safety: an all-zero row (the
     deterministic embedder emits one for texts shorter than its n-gram
     width) stays all-zero instead of becoming a NaN row that poisons
-    argmax assignment and top-k sorts downstream."""
+    argmax assignment and top-k sorts downstream. The floor is
+    dtype-aware — a fixed 1e-300 would underflow to 0.0 in float32 and
+    silently reintroduce the 0/0 NaN."""
     norms = np.linalg.norm(M, axis=1, keepdims=True)
-    return M / np.maximum(norms, 1e-300)
+    tiny = np.finfo(norms.dtype).tiny if norms.dtype.kind == "f" else 1e-300
+    return M / np.maximum(norms, tiny)

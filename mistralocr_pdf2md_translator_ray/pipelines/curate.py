@@ -104,13 +104,20 @@ def _filter_parts(ds: "rd.Dataset", missing: set[int]) -> "rd.Dataset":
     return filter_to_partitions(ds, missing)
 
 
+_DOCS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+
 def _write_documents(ds: "rd.Dataset", d: str,
-                     filename: str = "documents.parquet") -> int:
+                     filename: str = "documents.parquet",
+                     empty_schema: "pa.Schema | None" = None) -> int:
     """Distributed write of a parquet-directory layout (Ray writes one
     file per block — no driver funnel, resumable-output shape). Used
     for the small packing manifest; corpus-bytes outputs go through
     ``_ckpt_stage``. Row count comes from the written footers, not a
-    re-execution."""
+    re-execution. ``empty_schema`` seeds a typed zero-row file when the
+    dataset writes nothing — an empty Dataset writes NO files, and a
+    schemaless directory breaks every downstream reader (a delivery
+    whose docs are ALL near-dups of shipped history is routine)."""
     target = os.path.join(d, filename)
     # crash healing: a stage dir without _SUCCESS may hold a partial
     # previous write — clear it so stale files can't mix into this
@@ -121,9 +128,31 @@ def _write_documents(ds: "rd.Dataset", d: str,
         shutil.rmtree(target)
     os.makedirs(target, exist_ok=True)
     ds.write_parquet(target)
+    if empty_schema is not None and not any(
+            f.endswith(".parquet") for f in os.listdir(target)):
+        pq.write_table(empty_schema.empty_table(),
+                       os.path.join(target, "empty.parquet"))
     return sum(
         pq.ParquetFile(os.path.join(target, f)).metadata.num_rows
         for f in os.listdir(target) if f.endswith(".parquet"))
+
+
+def _survivors_semi_join(docs: "rd.Dataset",
+                         kept: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, text) docs ∩ kept ids via the bucketed co-group
+    semi-join — the kept set is corpus-scaled, so it never broadcasts.
+    Shared by the batch dedup stage and the per-delivery increment."""
+    from ..stages.joins import cogroup
+
+    def semi(ldf, rdf):
+        return ldf.merge(rdf[["doc_id"]].drop_duplicates(),
+                         on="doc_id")[["doc_id", "text"]]
+
+    return cogroup(
+        docs, kept, ["doc_id"], semi,
+        left_schema=_DOCS_SCHEMA,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
 
 
 def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
@@ -178,19 +207,8 @@ def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
             left = pending.map_batches(
                 lambda t: t.select(["doc_id", "text"]),
                 batch_format="pyarrow")
-
-            def semi(ldf, rdf):
-                out = ldf.merge(rdf[["doc_id"]].drop_duplicates(),
-                                on="doc_id")
-                return out[["doc_id", "text"]]
-
-            survivors = cogroup(
-                left, kept, ["doc_id"], semi,
-                left_schema=pa.schema([("doc_id", pa.int64()),
-                                       ("text", pa.string())]),
-                right_schema=pa.schema([("doc_id", pa.int64())]),
-            )
-            return add_part_id(survivors, "doc_id", _N_PARTS)
+            return add_part_id(_survivors_semi_join(left, kept),
+                               "doc_id", _N_PARTS)
 
         n = _ckpt_stage(src=_docs(d1), transform=dedup_stage,
                         stage_dir=d2, hash_cols=["doc_id", "text"],
@@ -382,21 +400,16 @@ def curate_increment(new_dir: str, out_dir: str, span_tokens: int = 16,
             kept = dedup_minhash_incremental(scrub_dir, index,
                                              update_index=True)
 
-    # survivors = this delivery's docs ∩ global kept
-    def semi(ldf, rdf):
-        return ldf.merge(rdf[["doc_id"]].drop_duplicates(),
-                         on="doc_id")[["doc_id", "text"]]
-
-    survivors = cogroup(
+    # survivors = this delivery's docs ∩ global kept; an all-near-dup
+    # re-delivery legitimately survives with ZERO docs — the typed
+    # empty seed keeps spans/order readable downstream
+    survivors = _survivors_semi_join(
         rd.read_parquet(os.path.join(scrub_dir, "documents.parquet"),
                         columns=["doc_id", "text"]),
-        kept, ["doc_id"], semi,
-        left_schema=pa.schema([("doc_id", pa.int64()),
-                               ("text", pa.string())]),
-        right_schema=pa.schema([("doc_id", pa.int64())]),
-    )
+        kept)
     dedup_dir = os.path.join(inc_dir, "dedup")
-    manifest["kept"] = _write_documents(survivors, dedup_dir)
+    manifest["kept"] = _write_documents(survivors, dedup_dir,
+                                        empty_schema=_DOCS_SCHEMA)
 
     # ---- span dedup within the delivery ------------------------------
     spans_dir = os.path.join(inc_dir, "spans")
@@ -404,15 +417,21 @@ def curate_increment(new_dir: str, out_dir: str, span_tokens: int = 16,
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "text": t["text_deduped"]}),
         batch_format="pyarrow")
-    manifest["spans"] = _write_documents(sp, spans_dir)
+    manifest["spans"] = _write_documents(sp, spans_dir,
+                                         empty_schema=_DOCS_SCHEMA)
 
     # ---- deterministic order + packing for the delivery --------------
     order_dir = os.path.join(inc_dir, "order")
     manifest["order"] = _write_documents(
-        lib.shuffle_documents(spans_dir, seed=seed), order_dir)
+        lib.shuffle_documents(spans_dir, seed=seed), order_dir,
+        empty_schema=_DOCS_SCHEMA.append(
+            pa.field("shuffle_key", pa.int64())))
     manifest["sequences"] = _write_documents(
         lib.pack_documents(spans_dir, seq_tokens=seq_tokens), order_dir,
-        filename="packing.parquet")
+        filename="packing.parquet",
+        empty_schema=pa.schema([("doc_id", pa.int64()),
+                                ("seq_id", pa.int64()),
+                                ("n_tokens", pa.int64())]))
 
     _mark(inc_dir, manifest)
     return manifest
@@ -431,11 +450,17 @@ def curate_evicted(out_dir: str) -> "rd.Dataset":
     # recursively but not a list of dirs
     shipped_files = [
         os.path.join(dd, f)
-        for d in sorted(os.listdir(incs))
+        for d in (sorted(os.listdir(incs)) if os.path.isdir(incs) else [])
         if os.path.exists(os.path.join(incs, d, _SUCCESS))
         for dd in [os.path.join(incs, d, "dedup", "documents.parquet")]
         for f in sorted(os.listdir(dd)) if f.endswith(".parquet")
     ]
+    if not shipped_files:
+        # nothing completed yet (fresh out_dir, or the very first
+        # delivery crashed) -> zero evictions, not an exception — the
+        # "correct after any crash" contract includes this state
+        return rd.from_arrow(
+            pa.schema([("doc_id", pa.int64())]).empty_table())
     kept = rd.read_parquet(
         os.path.join(out_dir, "state", "dedup_index", "kept"))
     shipped = rd.read_parquet(shipped_files, columns=["doc_id"])

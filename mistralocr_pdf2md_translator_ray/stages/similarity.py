@@ -222,11 +222,24 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 8,
     passes over the full table between the sampled init and the
     assignment write (``kmeans_refine`` — one extra corpus scan each,
     tighter partitions, same index layout)."""
+    import json
+    import shutil
+
     C = _centroids(sf_dir, n_centroids, seed)
     if refine_iters > 0:
         C, _ = kmeans_refine(sf_dir, C, n_iters=refine_iters)
-    _assign_and_write(C, sf_dir, index_dir)
-    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    # build into a tmp dir + atomic swap: a crashed build followed by a
+    # rerun must not leave (or double) partial partitions
+    tmp = index_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    _assign_and_write(C, sf_dir, tmp)
+    np.save(os.path.join(tmp, "centroids.npy"), C)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"appended_paths": []}, f)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp, index_dir)
     return C
 
 
@@ -246,9 +259,34 @@ def append_to_ivf_index(new_dir: str, index_dir: str) -> None:
     and every increment (the tables' invariant). After enough growth
     skews the partition balance, rebuild with ``build_ivf_index``
     (optionally ``refine_iters>0``) — same trade as any IVF system.
+
+    The append is crash-retry idempotent: files land via the same
+    tag-staged move protocol the dedup indexes use (deterministic
+    ``inc<ordinal>_`` names, purge-then-move; the appended-paths meta
+    is written LAST), so a crash at any point cannot double-append,
+    and re-appending an already-folded shard is rejected.
     """
+    import json
+
+    from .dedup_incremental import _staged_partition_append
+
     C = np.load(os.path.join(index_dir, "centroids.npy"))
-    _assign_and_write(C, new_dir, index_dir)
+    meta_p = os.path.join(index_dir, "meta.json")
+    meta = {"appended_paths": []}
+    if os.path.exists(meta_p):  # pre-meta indexes append without the guard
+        with open(meta_p) as f:
+            meta = json.load(f)
+    new_path = os.path.abspath(os.path.join(new_dir, "embeddings.parquet"))
+    if new_path in meta["appended_paths"]:
+        raise ValueError(f"{new_path} is already in the index")
+    tag = f"inc{len(meta['appended_paths']):05d}"
+    _staged_partition_append(
+        lambda d: _assign_and_write(C, new_dir, d), index_dir, tag)
+    meta["appended_paths"].append(new_path)
+    tmp = meta_p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_p)
 
 
 def knn_cosine_ivf_indexed(index_dir: str, query_vec: np.ndarray,

@@ -273,3 +273,31 @@ class TestCurateIncrement:
             .to_pandas().set_index("doc_id")
         assert len(got) == len(exp)
         assert (got["text"] == exp.reindex(got.index)).all()
+
+    def test_all_neardup_redelivery_survives_with_zero_docs(
+            self, tmp_path, ray_session):
+        """A delivery that is ENTIRELY near-dups of shipped history
+        (a routine re-delivery) must complete with kept == 0 — typed
+        empty outputs, not a schemaless-directory crash — and a fresh
+        out_dir reports zero evictions instead of raising."""
+        from mistralocr_pdf2md_translator_ray.pipelines.curate import (
+            curate_evicted,
+            curate_increment,
+        )
+
+        r1 = [(1, BASE), (2, OTHER)]
+        c1 = _mkdocs(tmp_path, "rd1", r1)
+        c2 = _mkdocs(tmp_path, "rd2", [(10, BASE), (11, OTHER)])
+        out = str(tmp_path / "inc_out4")
+
+        assert curate_evicted(out).count() == 0     # fresh dir: no raise
+
+        curate_increment(c1, out, span_tokens=8, threshold=0.7)
+        m2 = curate_increment(c2, out, span_tokens=8, threshold=0.7)
+        assert m2["scrub"] == 2
+        assert m2["kept"] == 0 and m2["spans"] == 0 and m2["order"] == 0
+        assert m2["sequences"] == 0
+        # increment is resumable/skippable like any other
+        assert curate_increment(c2, out, span_tokens=8,
+                                threshold=0.7) == m2
+        assert curate_evicted(out).count() == 0     # nothing evicted

@@ -406,7 +406,8 @@ class TestIvfAppend:
         idx = str(tmp_path / "ivf")
         C = build_ivf_index(str(old_dir), idx, n_centroids=4, seed=5)
         pre = {os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
-               for r, _, fs in os.walk(idx) for f in fs}
+               for r, _, fs in os.walk(idx) for f in fs
+               if f != "meta.json"}  # the appended-paths meta rewrites
         append_to_ivf_index(str(new_dir), idx)
 
         # old index bytes untouched, new rows present
@@ -1168,3 +1169,57 @@ class TestZeroVectorSafety:
                                      exclude_vec_id=0).to_pandas()
         assert not res["score"].isna().any()
         assert res.iloc[0]["vec_id"] == 1   # the exact dup tops the list
+
+
+class TestIvfAppendCrashRetry:
+    def test_retry_after_partial_append_is_idempotent(self, tmp_path,
+                                                      ray_session):
+        """Simulate 'crashed after the partition move, before the meta
+        write' by undoing the meta record: the retry must purge and
+        re-move the same tagged files, leaving exactly one copy of
+        every appended vector (and re-appending a folded shard is
+        rejected)."""
+        import json
+        import os
+
+        from mistralocr_pdf2md_translator_ray.stages.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+
+        rng = np.random.default_rng(7)
+        M = rng.standard_normal((30, 8))
+        old_dir, new_dir = tmp_path / "co", tmp_path / "cn"
+        old_dir.mkdir(), new_dir.mkdir()
+
+        def write(d, ids, rows):
+            pq.write_table(pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rows.astype(np.float32).ravel(),
+                             pa.float32()), 8),
+            }), str(d / "embeddings.parquet"))
+
+        write(old_dir, list(range(20)), M[:20])
+        write(new_dir, list(range(20, 30)), M[20:])
+
+        idx = str(tmp_path / "cidx")
+        build_ivf_index(str(old_dir), idx, n_centroids=4, seed=5)
+        append_to_ivf_index(str(new_dir), idx)
+
+        def total_rows():
+            return sum(
+                pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                for r, _, fs in os.walk(idx) for f in fs
+                if f.endswith(".parquet"))
+
+        assert total_rows() == 30
+        # undo only the meta record (= crash before the meta write)
+        meta_p = os.path.join(idx, "meta.json")
+        meta = json.load(open(meta_p))
+        meta["appended_paths"].pop()
+        json.dump(meta, open(meta_p, "w"))
+        append_to_ivf_index(str(new_dir), idx)
+        assert total_rows() == 30          # no double-append
+        with pytest.raises(ValueError, match="already in the index"):
+            append_to_ivf_index(str(new_dir), idx)
