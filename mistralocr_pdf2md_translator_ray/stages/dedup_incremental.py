@@ -567,3 +567,46 @@ def exact_index_kept(index_dir: str) -> "rd.Dataset":
         return out[["doc_id", "n_dups"]]
 
     return ds.groupby("hb").map_groups(per_bucket, batch_format="pandas")
+
+
+def exact_index_compact(index_dir: str) -> None:
+    """LSM compaction: rewrite each ``hb=`` partition as its merged
+    per-hash minima (one row per distinct text again). Increments
+    append one file per delivery per touched partition; after many
+    deliveries every probe merges that whole history — compaction
+    restores single-row reads without changing the merged content
+    (``exact_index_kept`` before == after, pytest-pinned). Each
+    partition compacts independently and atomically (tmp file +
+    replace-then-unlink), so a crash mid-compaction leaves every
+    partition either compacted or exactly as it was.
+
+    Orphaned rows of a crashed UN-finalized increment (tagged with the
+    next ordinal, absent from meta doc_paths) are purged first — were
+    they merged into the compacted file, the increment's retry could
+    no longer heal them by tag and would double-count."""
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(index_dir, "data")
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    _purge_tagged(data_dir, f"inc{len(meta['doc_paths']):05d}")
+    for part in sorted(os.listdir(data_dir)):
+        part_dir = os.path.join(data_dir, part)
+        if not (part.startswith("hb=") and os.path.isdir(part_dir)):
+            continue
+        files = sorted(f for f in os.listdir(part_dir)
+                       if f.endswith(".parquet"))
+        if len(files) <= 1:
+            continue
+        t = pq.read_table([os.path.join(part_dir, f) for f in files],
+                          columns=["h", "doc_id", "n_dups"])
+        merged = t.to_pandas().groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+        merged = merged.sort_values("h").reset_index(drop=True)
+        tmp = os.path.join(part_dir, "compact.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                       tmp)
+        os.replace(tmp, os.path.join(part_dir, "compact_00000.parquet"))
+        for f in files:
+            if f != "compact_00000.parquet":
+                os.remove(os.path.join(part_dir, f))

@@ -412,3 +412,44 @@ class TestIncrementalCrashRetry:
         assert delta["doc_id"].tolist() == [big_new]      # exact keeper
         assert delta["evicted_doc_id"].tolist() == [big_old]
         assert delta["n_dups"].tolist() == [2]
+
+
+class TestExactIndexCompaction:
+    def test_compaction_preserves_merged_view(self, tmp_path,
+                                              ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_exact_index,
+            dedup_exact_incremental,
+            exact_index_compact,
+            exact_index_kept,
+        )
+
+        c0 = _mkcorpus(tmp_path, "cp0", [(1, BASE), (2, OTHER)])
+        c1 = _mkcorpus(tmp_path, "cp1", [(10, BASE), (11, THIRD)])
+        c2 = _mkcorpus(tmp_path, "cp2", [(20, THIRD), (0, OTHER)])
+        idx = str(tmp_path / "cpidx")
+        build_exact_index(c0, idx)
+        dedup_exact_incremental(c1, idx)
+        dedup_exact_incremental(c2, idx)
+
+        before = exact_index_kept(idx).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exact_index_compact(idx)
+        after = exact_index_kept(idx).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(after, before)
+
+        # every touched partition is now single-file
+        data = os.path.join(idx, "data")
+        for part in os.listdir(data):
+            pd_dir = os.path.join(data, part)
+            if os.path.isdir(pd_dir):
+                n = len([f for f in os.listdir(pd_dir)
+                         if f.endswith(".parquet")])
+                assert n == 1, part
+
+        # further increments still work against the compacted index
+        c3 = _mkcorpus(tmp_path, "cp3", [(30, BASE), (31, "brand new")])
+        delta = dedup_exact_incremental(c3, idx).to_pandas()
+        # BASE seen in c0 (doc 1), c1 (doc 10), c3 (doc 30) -> 3 total
+        assert delta.set_index("doc_id").loc[1, "n_dups"] == 3
