@@ -166,7 +166,6 @@ def curate_corpus(sf_dir: str, out_dir: str, span_tokens: int = 16,
     (stages/embed.py) producing the embeddings.parquet the ANN /
     embedding-near-dup family consumes."""
     from ..stages.dedup import dedup_minhash, dedup_spans
-    from ..stages.joins import cogroup
     from ..stages.textstats import RedactActor
     from . import library as lib
 
@@ -341,7 +340,6 @@ def curate_increment(new_dir: str, out_dir: str, span_tokens: int = 16,
         build_dedup_index,
         dedup_minhash_incremental,
     )
-    from ..stages.joins import cogroup
     from ..stages.textstats import RedactActor
     from . import library as lib
 

@@ -467,7 +467,7 @@ def dedup_exact_incremental(new_dir: str, index_dir: str,
     if new_doc_path in meta["doc_paths"]:
         raise ValueError(f"{new_doc_path} is already in the index")
 
-    data_dir = os.path.join(index_dir, "data")
+    data_dir = _exact_data_dir(index_dir)  # heals an interrupted swap
     # heal a crashed previous fold of THIS increment before probing —
     # its partial rows must not be merged as "old" (they'd double-count
     # n_dups and make every new doc collide with itself)
@@ -558,7 +558,7 @@ def exact_index_kept(index_dir: str) -> "rd.Dataset":
     corpus returns. The merge is per-``hb``-bucket (the partition
     column comes back from the hive layout), so no task holds more
     than one bucket."""
-    ds = rd.read_parquet(os.path.join(index_dir, "data"))
+    ds = rd.read_parquet(_exact_data_dir(index_dir))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("h", as_index=False).agg(
@@ -569,44 +569,71 @@ def exact_index_kept(index_dir: str) -> "rd.Dataset":
     return ds.groupby("hb").map_groups(per_bucket, batch_format="pandas")
 
 
+def _exact_data_dir(index_dir: str) -> str:
+    """Resolve (and heal) the exact index's data generation. A crash
+    between compaction's two renames leaves ``data`` absent with the
+    fully-written next generation (``data.compact``) or the retired
+    old one (``data.retired``) on disk — promote whichever exists so
+    every reader sees a complete generation, never a mix."""
+    data = os.path.join(index_dir, "data")
+    if not os.path.isdir(data):
+        for cand in (data + ".compact", data + ".retired"):
+            if os.path.isdir(cand):
+                os.rename(cand, data)
+                break
+    retired = data + ".retired"
+    if os.path.isdir(data) and os.path.isdir(retired):
+        shutil.rmtree(retired)  # swap completed, old generation is junk
+    return data
+
+
 def exact_index_compact(index_dir: str) -> None:
-    """LSM compaction: rewrite each ``hb=`` partition as its merged
-    per-hash minima (one row per distinct text again). Increments
-    append one file per delivery per touched partition; after many
-    deliveries every probe merges that whole history — compaction
-    restores single-row reads without changing the merged content
-    (``exact_index_kept`` before == after, pytest-pinned). Each
-    partition compacts independently and atomically (tmp file +
-    replace-then-unlink), so a crash mid-compaction leaves every
-    partition either compacted or exactly as it was.
+    """LSM compaction: rewrite the index as merged per-hash minima
+    (one row per distinct text again). Increments append one file per
+    delivery per touched partition; after many deliveries every probe
+    merges that whole history — compaction restores single-row reads
+    without changing the merged content (``exact_index_kept`` before
+    == after, pytest-pinned).
+
+    The merge runs DISTRIBUTED (bucketed Ray groupby — no partition
+    ever concentrates on the driver, matching every other
+    corpus-scaled pass here) into a fresh generation dir, then swaps
+    generations with two renames. A crash at any point leaves either
+    the old generation or the complete new one (``_exact_data_dir``
+    heals an interrupted swap on next access) — never a partition
+    mixing compacted and source files, which would double-count
+    n_dups.
 
     Orphaned rows of a crashed UN-finalized increment (tagged with the
     next ordinal, absent from meta doc_paths) are purged first — were
-    they merged into the compacted file, the increment's retry could
-    no longer heal them by tag and would double-count."""
-    import pyarrow.parquet as pq
-
-    data_dir = os.path.join(index_dir, "data")
+    they merged into the compacted generation, the increment's retry
+    could no longer heal them by tag and would double-count."""
+    data_dir = _exact_data_dir(index_dir)
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     _purge_tagged(data_dir, f"inc{len(meta['doc_paths']):05d}")
-    for part in sorted(os.listdir(data_dir)):
-        part_dir = os.path.join(data_dir, part)
-        if not (part.startswith("hb=") and os.path.isdir(part_dir)):
-            continue
-        files = sorted(f for f in os.listdir(part_dir)
-                       if f.endswith(".parquet"))
-        if len(files) <= 1:
-            continue
-        t = pq.read_table([os.path.join(part_dir, f) for f in files],
-                          columns=["h", "doc_id", "n_dups"])
-        merged = t.to_pandas().groupby("h", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
-        merged = merged.sort_values("h").reset_index(drop=True)
-        tmp = os.path.join(part_dir, "compact.parquet.tmp")
-        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
-                       tmp)
-        os.replace(tmp, os.path.join(part_dir, "compact_00000.parquet"))
-        for f in files:
-            if f != "compact_00000.parquet":
-                os.remove(os.path.join(part_dir, f))
+
+    gen = data_dir + ".compact"
+    if os.path.isdir(gen):
+        shutil.rmtree(gen)  # partial previous attempt
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            hb=("hb", "first"), doc_id=("doc_id", "min"),
+            n_dups=("n_dups", "sum"))
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out[["h", "hb", "doc_id", "n_dups"]]
+
+    (
+        rd.read_parquet(data_dir)
+        .groupby("hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(["hb", "h"])
+        .write_parquet(gen, partition_cols=["hb"])
+    )
+    retired = data_dir + ".retired"
+    if os.path.isdir(retired):
+        shutil.rmtree(retired)
+    os.rename(data_dir, retired)
+    os.rename(gen, data_dir)
+    shutil.rmtree(retired)

@@ -439,14 +439,23 @@ class TestExactIndexCompaction:
             .sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(after, before)
 
-        # every touched partition is now single-file
+        # compacted generation holds ONE row per distinct hash
         data = os.path.join(idx, "data")
-        for part in os.listdir(data):
-            pd_dir = os.path.join(data, part)
-            if os.path.isdir(pd_dir):
-                n = len([f for f in os.listdir(pd_dir)
-                         if f.endswith(".parquet")])
-                assert n == 1, part
+        files = [os.path.join(r, f) for r, _, fs in os.walk(data)
+                 for f in fs if f.endswith(".parquet")]
+        all_rows = pa.concat_tables(
+            pq.read_table(f, columns=["h"]) for f in files)
+        hashes = all_rows["h"].to_pylist()
+        assert len(hashes) == len(set(hashes)) == len(before)
+
+        # interrupted swap heals: simulate a crash between the two
+        # renames (data gone, complete new generation stranded)
+        os.rename(data, data + ".compact")
+        healed = exact_index_kept(idx).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(healed, before)
+        assert os.path.isdir(data)
+        assert not os.path.isdir(data + ".compact")
 
         # further increments still work against the compacted index
         c3 = _mkcorpus(tmp_path, "cp3", [(30, BASE), (31, "brand new")])
