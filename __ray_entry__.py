@@ -158,6 +158,28 @@ def _dedup_exact_incremental_query(sf_dir: str) -> Any:
     return dedup_exact_incremental(new_dir, idx)
 
 
+def _neardup_embedding_incremental_query(sf_dir: str) -> Any:
+    """Incremental embedding near-dup: build the hyperplane-band index
+    on the 90% 'old' embeddings, then near-dup ONLY the 10% 'daily'
+    shard against it (band probes + vec_id-pushdown cosine verify —
+    history never re-banded). Rows-only; kept-set parity with
+    from-scratch neardup_embedding on the concatenated corpus is
+    pinned in tests/test_dedup_incremental.py."""
+    import os
+
+    from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+        build_embdedup_index,
+        neardup_embedding_incremental,
+    )
+
+    root, old_dir, new_dir = _split_corpus(
+        sf_dir, "graft_embdedup_inc", table="embeddings",
+        columns=["vec_id", "embedding"], id_col="vec_id", residue=0)
+    idx = os.path.join(root, "index")
+    build_embdedup_index(old_dir, idx)
+    return neardup_embedding_incremental(new_dir, idx)
+
+
 def _knn_ivf_appended_query(sf_dir: str) -> Any:
     """Incremental-ANN path: build the IVF index on a 90% 'old' split,
     append the 10% 'daily' shard with frozen centroids
@@ -414,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": dd.neardup_clusters,
         "dedup_minhash_incremental": _dedup_incremental_query,
         "dedup_exact_incremental": _dedup_exact_incremental_query,
+        "neardup_embedding_incremental": _neardup_embedding_incremental_query,
         "embed_documents": _embed_documents_query,
         # similarity search (brute-force baseline + IVF scale path)
         "knn_cosine": lib.knn_cosine,

@@ -520,13 +520,15 @@ def _verify_jaccard_ds(doc_path: "str | list[str]", pairs: "rd.Dataset",
         verify, batch_format="pyarrow", batch_size=batch_size)
 
 
-def _verify_cosine_ds(emb_path: str, pairs: "rd.Dataset", threshold: float,
-                      batch_size: int = 4096,
+def _verify_cosine_ds(emb_path: "str | list[str]", pairs: "rd.Dataset",
+                      threshold: float, batch_size: int = 4096,
                       n_upper: int | None = None) -> "rd.Dataset":
     """Exact cosine verification over pair blocks: each batch reads ONLY
     its colliding vectors by parquet predicate pushdown and scores the
     pairs with one vectorized gather + row-wise dot — the embeddings
-    never travel through the LSH shuffle (band keys + ids only)."""
+    never travel through the LSH shuffle (band keys + ids only).
+    ``emb_path`` may be a list of parquet files (the incremental path
+    verifies old+new corpora in one read)."""
 
     def verify(t: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -708,26 +710,11 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
     return _keep_after_pairs(docs, verified)
 
 
-def neardup_embedding(sf_dir: str, threshold: float = 0.95,
-                      n_bands: int = 4, planes_per_band: int = 8,
-                      seed: int = 13) -> "rd.Dataset":
-    """Embedding-cosine near-dup removal: MULTI-BAND random-hyperplane
-    LSH (each doc lands in ``n_bands`` independent buckets — a pair at
-    angle theta collides in at least one band with probability
-    1-(1-(1-theta/pi)^planes)^bands, vs a single band's
-    (1-theta/pi)^planes; at cos=0.95 that's ~0.89 recall for 4x8 vs
-    ~0.28 for one 12-plane band), exact cosine verification in sharded
-    pair blocks that re-read ONLY their colliding vectors by parquet
-    predicate pushdown (false positives cost verification only, never
-    correctness; the shuffle moves band keys + ids, never the vectors).
-    Returns kept vec_ids (column name doc_id for uniformity)."""
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-
-    # probe dim from the parquet schema (fixed-size list) or one
-    # driver-side record batch — never a Ray execution round trip.
-    # emb_path may be a directory (embed_corpus output): any one file
-    # carries the schema.
+def _embedding_dim(emb_path: str) -> int:
+    """Probe the embedding width from the parquet schema (fixed-size
+    list) or one driver-side record batch — never a Ray execution
+    round trip. ``emb_path`` may be a directory (embed_corpus output):
+    any one file carries the schema."""
     import pyarrow.parquet as pq
 
     probe_path = emb_path
@@ -737,10 +724,20 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
     pf = pq.ParquetFile(probe_path)
     etype = pf.schema_arrow.field("embedding").type
     if pa.types.is_fixed_size_list(etype):
-        dim = etype.list_size
-    else:
-        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-        dim = len(first["embedding"][0])
+        return etype.list_size
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first["embedding"][0])
+
+
+def _embedding_band_rows(emb_path: str, dim: int, n_bands: int,
+                         planes_per_band: int,
+                         seed: int) -> "rd.Dataset":
+    """(vec_id, embedding) parquet -> (band_key, doc_id) hyperplane-LSH
+    band rows — the sketch both the from-scratch ``neardup_embedding``
+    and the incremental index build/probe share (identical planes for
+    a given (dim, n_bands, planes_per_band, seed), so increments
+    collide with history exactly as a from-scratch banding would).
+    Zero-norm vectors are excluded (no direction -> never candidates)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands, dim, planes_per_band))
     planes_ref = ray.put(planes)
@@ -769,13 +766,36 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
             id_parts.append(ids)
         return pa.table({
             "band_key": pa.array(key_parts, pa.string()),
-            "doc_id": pa.array(np.concatenate(id_parts), pa.int64()),
+            "doc_id": pa.array(
+                np.concatenate(id_parts) if id_parts else
+                np.empty(0, np.int64), pa.int64()),
         })
 
-    buckets = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return ds.map_batches(bucketize, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+def neardup_embedding(sf_dir: str, threshold: float = 0.95,
+                      n_bands: int = 4, planes_per_band: int = 8,
+                      seed: int = 13) -> "rd.Dataset":
+    """Embedding-cosine near-dup removal: MULTI-BAND random-hyperplane
+    LSH (each doc lands in ``n_bands`` independent buckets — a pair at
+    angle theta collides in at least one band with probability
+    1-(1-(1-theta/pi)^planes)^bands, vs a single band's
+    (1-theta/pi)^planes; at cos=0.95 that's ~0.89 recall for 4x8 vs
+    ~0.28 for one 12-plane band), exact cosine verification in sharded
+    pair blocks that re-read ONLY their colliding vectors by parquet
+    predicate pushdown (false positives cost verification only, never
+    correctness; the shuffle moves band keys + ids, never the vectors).
+    Returns kept vec_ids (column name doc_id for uniformity)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = _embedding_dim(emb_path)
+    buckets = _embedding_band_rows(emb_path, dim, n_bands,
+                                   planes_per_band, seed)
     pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
     verified = _verify_cosine_ds(emb_path, pairs, threshold, n_upper=n_raw)
-    keep_docs = ds.map_batches(
+    keep_docs = rd.read_parquet(emb_path, columns=["vec_id"]).map_batches(
         lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
         batch_format="pyarrow",
     )

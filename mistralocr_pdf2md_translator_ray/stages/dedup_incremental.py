@@ -637,3 +637,155 @@ def exact_index_compact(index_dir: str) -> None:
     os.rename(data_dir, retired)
     os.rename(gen, data_dir)
     shutil.rmtree(retired)
+
+
+# ---------------------------------------------------------------------------
+# Incremental EMBEDDING near-dup against a persisted hyperplane-band index
+# ---------------------------------------------------------------------------
+#
+# The embedding-family analog of the MinHash band index above (same
+# layout, same probe, same crash contract): hyperplane-LSH band rows for
+# every indexed vector persist partitioned by band-key hash; new shards
+# band locally with the SAME planes (deterministic in (dim, bands,
+# planes, seed)) and probe colliding history by pushdown; exact cosine
+# verification reads old + new vectors by vec_id pushdown; the kept set
+# equals a from-scratch `neardup_embedding` over the concatenated
+# corpus. Completes the incremental story: every blocking family
+# (MinHash, exact-hash, IVF, hyperplane-LSH) has an O(new) path.
+
+def build_embdedup_index(sf_dir: str, index_dir: str,
+                         threshold: float = 0.95, n_bands: int = 4,
+                         planes_per_band: int = 8, seed: int = 13,
+                         num_band_parts: int = _BAND_PARTS) -> None:
+    """Run the from-scratch embedding near-dup over
+    ``<sf_dir>/embeddings.parquet`` and persist bands + labels + kept
+    (the ``build_dedup_index`` layout; meta pins the plane geometry so
+    increments band identically)."""
+    from .dedup import (
+        _embedding_band_rows,
+        _embedding_dim,
+        _verify_cosine_ds,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = _embedding_dim(emb_path)
+    bands = _embedding_band_rows(emb_path, dim, n_bands,
+                                 planes_per_band, seed).materialize()
+    pairs, n_raw = _pairs_dataset(bands, _all_pairs)
+    verified = _verify_cosine_ds(emb_path, pairs, threshold,
+                                 n_upper=n_raw).materialize()
+    ids = rd.read_parquet(emb_path, columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    tmp = index_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    _write_bands(bands, os.path.join(tmp, "bands"), num_band_parts)
+    _write_ds(cluster_labels(verified), os.path.join(tmp, "labels"),
+              _LABELS_SCHEMA)
+    _write_ds(_keep_after_pairs(ids, verified),
+              os.path.join(tmp, "kept"), _KEPT_SCHEMA)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_bands": n_bands,
+                   "planes_per_band": planes_per_band, "seed": seed,
+                   "threshold": threshold,
+                   "num_band_parts": num_band_parts,
+                   "emb_paths": [os.path.abspath(emb_path)]}, f)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp, index_dir)
+
+
+def neardup_embedding_incremental(new_dir: str, index_dir: str,
+                                  update_index: bool = False
+                                  ) -> "rd.Dataset":
+    """Near-dup NEW embedding shards against a ``build_embdedup_index``
+    index without re-banding the history (band probes + vec_id-pushdown
+    cosine verify only). Returns the kept ids over old ∪ new — bitwise
+    the set a from-scratch ``neardup_embedding`` over the concatenated
+    corpus returns (same plane geometry by meta). ``update_index=True``
+    folds the increment in (tag-staged band append, labels/kept atomic
+    rewrite — the shared crash contract) so increments chain. The new
+    shard's embedding width must match the indexed ``dim``."""
+    from .dedup import (
+        _embedding_band_rows,
+        _embedding_dim,
+        _verify_cosine_ds,
+    )
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    num_parts = meta["num_band_parts"]
+    new_emb_path = os.path.abspath(
+        os.path.join(new_dir, "embeddings.parquet"))
+    if new_emb_path in meta["emb_paths"]:
+        raise ValueError(f"{new_emb_path} is already in the index")
+    dim = _embedding_dim(new_emb_path)
+    if dim != meta["dim"]:
+        raise ValueError(
+            f"embedding dim {dim} != indexed dim {meta['dim']}")
+
+    tag = f"inc{len(meta['emb_paths']):05d}"
+    _purge_tagged(os.path.join(index_dir, "bands"), tag)
+
+    new_bands = _embedding_band_rows(
+        new_emb_path, dim, meta["n_bands"], meta["planes_per_band"],
+        meta["seed"]).materialize()
+
+    nn_pairs, nn_raw = _pairs_dataset(new_bands, _all_pairs)
+    no_raw = _probe_band_index(new_bands,
+                               os.path.join(index_dir, "bands"), num_parts)
+    no_pairs, no_n = _distinct_pairs_ds(no_raw)
+    pairs = nn_pairs.map_batches(
+        _ensure_pair_schema, batch_format="pyarrow").union(
+        no_pairs.map_batches(_ensure_pair_schema, batch_format="pyarrow"))
+
+    verified = _verify_cosine_ds(
+        _emb_files(meta["emb_paths"] + [new_emb_path]), pairs,
+        meta["threshold"], n_upper=nn_raw + no_n).materialize()
+
+    old_labels = rd.read_parquet(os.path.join(index_dir, "labels"))
+    old_kept = rd.read_parquet(os.path.join(index_dir, "kept"))
+    new_ids = rd.read_parquet(new_emb_path, columns=["vec_id"]) \
+        .map_batches(
+            lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    edges = verified.union(_labels_as_edges(old_labels))
+    universe = _distinct_ids(old_kept.union(new_ids))
+    kept = _keep_after_pairs(universe, edges)
+
+    if not update_index:
+        return kept
+
+    _staged_partition_append(
+        lambda d: _write_bands(new_bands, d, num_parts),
+        os.path.join(index_dir, "bands"), tag)
+    new_labels = cluster_labels(edges)
+    for name, ds, schema in (("labels", new_labels, _LABELS_SCHEMA),
+                             ("kept", kept, _KEPT_SCHEMA)):
+        t = os.path.join(index_dir, name + ".tmp")
+        if os.path.isdir(t):
+            shutil.rmtree(t)
+        _write_ds(ds, t, schema)
+        final = os.path.join(index_dir, name)
+        shutil.rmtree(final)
+        os.replace(t, final)
+    meta["emb_paths"].append(new_emb_path)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return rd.read_parquet(os.path.join(index_dir, "kept"))
+
+
+def _emb_files(paths: list) -> list:
+    """Expand a mix of embeddings.parquet files and directories to a
+    flat file list (pq.read_table accepts a list of FILES only)."""
+    out: list = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                       if f.endswith(".parquet"))
+        else:
+            out.append(p)
+    return out

@@ -462,3 +462,109 @@ class TestExactIndexCompaction:
         delta = dedup_exact_incremental(c3, idx).to_pandas()
         # BASE seen in c0 (doc 1), c1 (doc 10), c3 (doc 30) -> 3 total
         assert delta.set_index("doc_id").loc[1, "n_dups"] == 3
+
+
+def _mkemb(tmp_path, name, rows, dim=16):
+    """rows: list of (vec_id, np_vector)."""
+    import numpy as np
+
+    d = tmp_path / name
+    d.mkdir()
+    M = np.vstack([r[1] for r in rows]).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(M.ravel(), pa.float32()), dim),
+    }), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+class TestIncrementalEmbeddingNearDup:
+    """Incremental hyperplane-LSH near-dup against the persisted band
+    index: kept parity with from-scratch neardup_embedding on the
+    concatenated corpus, transitivity through removed vectors,
+    chaining, and the identical-plane-geometry contract."""
+
+    def _vecs(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        v0 = rng.standard_normal(16)
+        v0 /= np.linalg.norm(v0)
+        ortho = rng.standard_normal(16)
+        ortho -= (ortho @ v0) * v0
+        ortho /= np.linalg.norm(ortho)
+
+        def near(v, eps, seed):
+            r = np.random.default_rng(seed).standard_normal(16)
+            w = v + eps * r / np.linalg.norm(r)
+            return w / np.linalg.norm(w)
+
+        return v0, ortho, near
+
+    def test_kept_equals_from_scratch_on_concat(self, tmp_path,
+                                                ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import (
+            neardup_embedding,
+        )
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_embdedup_index,
+            neardup_embedding_incremental,
+        )
+
+        v0, ortho, near = self._vecs()
+        # old: 1=v0, 2=near dup of v0 (removed), 3=orthogonal
+        old_rows = [(1, v0), (2, near(v0, 0.05, 1)), (3, ortho)]
+        # new: 10 near the REMOVED 2 (transitivity -> joins {1,2});
+        # 11 fresh direction
+        fresh = near(ortho + v0, 0.5, 7)
+        new_rows = [(10, near(v0, 0.08, 2)), (11, fresh)]
+        old = _mkemb(tmp_path, "eold", old_rows)
+        new = _mkemb(tmp_path, "enew", new_rows)
+        concat = _mkemb(tmp_path, "econcat", old_rows + new_rows)
+
+        idx = str(tmp_path / "eidx")
+        build_embdedup_index(old, idx, threshold=0.95)
+        assert _kept(rd.read_parquet(os.path.join(idx, "kept"))) == [1, 3]
+
+        got = _kept(neardup_embedding_incremental(new, idx))
+        exp = _kept(neardup_embedding(concat, threshold=0.95))
+        assert got == exp
+        assert 10 not in got and 1 in got and 11 in got
+
+    def test_chained_increments_and_guards(self, tmp_path, ray_session):
+        from mistralocr_pdf2md_translator_ray.stages.dedup import (
+            neardup_embedding,
+        )
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_embdedup_index,
+            neardup_embedding_incremental,
+        )
+
+        v0, ortho, near = self._vecs()
+        r0 = [(1, v0), (2, ortho)]
+        r1 = [(10, near(v0, 0.05, 3))]
+        r2 = [(20, near(ortho, 0.05, 4)), (21, near(v0 - ortho, 0.5, 9))]
+        c0 = _mkemb(tmp_path, "ec0", r0)
+        c1 = _mkemb(tmp_path, "ec1", r1)
+        c2 = _mkemb(tmp_path, "ec2", r2)
+        call = _mkemb(tmp_path, "ecall", r0 + r1 + r2)
+
+        idx = str(tmp_path / "eidxc")
+        build_embdedup_index(c0, idx, threshold=0.95)
+        neardup_embedding_incremental(c1, idx, update_index=True)
+        got = _kept(neardup_embedding_incremental(c2, idx,
+                                                  update_index=True))
+        exp = _kept(neardup_embedding(call, threshold=0.95))
+        assert got == exp
+        assert _kept(rd.read_parquet(os.path.join(idx, "kept"))) == got
+        with pytest.raises(ValueError, match="already in the index"):
+            neardup_embedding_incremental(c1, idx)
+
+        # dim mismatch is rejected loudly
+        import numpy as np
+
+        bad = _mkemb(tmp_path, "ebad",
+                     [(99, np.ones(8) / np.sqrt(8))], dim=8)
+        with pytest.raises(ValueError, match="dim"):
+            neardup_embedding_incremental(bad, idx)

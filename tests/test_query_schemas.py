@@ -427,6 +427,9 @@ EXPECTED = {
         "n_dups": "int64",
         "evicted_doc_id": "int64",
     },
+    "neardup_embedding_incremental": {
+        "doc_id": "int64",
+    },
     "embed_documents": {
         "vec_id": "int64",
         "embedding": "fixed_size_list<item: float>[64]",
