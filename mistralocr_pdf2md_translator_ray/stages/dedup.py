@@ -729,19 +729,27 @@ def _embedding_dim(emb_path: str) -> int:
     return len(first["embedding"][0])
 
 
-def _embedding_band_rows(emb_path: str, dim: int, n_bands: int,
-                         planes_per_band: int,
-                         seed: int) -> "rd.Dataset":
+def _hyperplanes(dim: int, n_bands: int, planes_per_band: int,
+                 seed: int) -> np.ndarray:
+    """Seeded hyperplane tensor (n_bands, dim, planes_per_band). A
+    PERSISTED band index must store the tensor itself, not this seed —
+    NumPy Generator streams are not guaranteed bit-stable across numpy
+    versions (NEP 19), and planes that drift would silently band new
+    shards into a different key space than the stored rows."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bands, dim, planes_per_band))
+
+
+def _embedding_band_rows(emb_path: str,
+                         planes: np.ndarray) -> "rd.Dataset":
     """(vec_id, embedding) parquet -> (band_key, doc_id) hyperplane-LSH
     band rows — the sketch both the from-scratch ``neardup_embedding``
-    and the incremental index build/probe share (identical planes for
-    a given (dim, n_bands, planes_per_band, seed), so increments
-    collide with history exactly as a from-scratch banding would).
-    Zero-norm vectors are excluded (no direction -> never candidates)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bands, dim, planes_per_band))
+    and the incremental index build/probe share (the SAME plane tensor
+    means increments collide with history exactly as a from-scratch
+    banding would). Zero-norm vectors are excluded (no direction ->
+    never candidates)."""
     planes_ref = ray.put(planes)
-    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+    weights = (1 << np.arange(planes.shape[2])).astype(np.int64)
 
     def bucketize(t: pa.Table) -> pa.Table:
         from ..functions.vectors import list_column_to_matrix, normalize_rows
@@ -791,8 +799,8 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
     Returns kept vec_ids (column name doc_id for uniformity)."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     dim = _embedding_dim(emb_path)
-    buckets = _embedding_band_rows(emb_path, dim, n_bands,
-                                   planes_per_band, seed)
+    buckets = _embedding_band_rows(
+        emb_path, _hyperplanes(dim, n_bands, planes_per_band, seed))
     pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
     verified = _verify_cosine_ds(emb_path, pairs, threshold, n_upper=n_raw)
     keep_docs = rd.read_parquet(emb_path, columns=["vec_id"]).map_batches(

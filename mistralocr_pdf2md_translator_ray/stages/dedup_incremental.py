@@ -112,6 +112,14 @@ def _labels_as_edges(labels: "rd.Dataset") -> "rd.Dataset":
         batch_format="pyarrow")
 
 
+def _vec_ids_as_doc_ids(emb_path: str) -> "rd.Dataset":
+    """embeddings parquet -> Dataset[doc_id] (vec_id renamed — the
+    dedup machinery's uniform id column)."""
+    return rd.read_parquet(emb_path, columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 _LABELS_SCHEMA = pa.schema([("doc_id", pa.int64()),
                             ("cluster_id", pa.int64())])
 _KEPT_SCHEMA = pa.schema([("doc_id", pa.int64())])
@@ -157,6 +165,32 @@ def _purge_tagged(live_dir: str, tag: str) -> None:
         for f in files:
             if f.startswith(f"{tag}_"):
                 os.remove(os.path.join(root, f))
+
+
+def _fold_band_index(index_dir: str, new_bands: "rd.Dataset",
+                     num_parts: int, tag: str, edges: "rd.Dataset",
+                     kept: "rd.Dataset") -> None:
+    """THE shared fold sequence for band-index increments (MinHash and
+    hyperplane-LSH — one implementation so the crash contract cannot
+    drift between families): tag-staged band append (a crash-retry
+    purges and re-moves the same files, never double-appends), then
+    labels/kept rewrite via tmp dirs + atomic swap (a crash mid-update
+    leaves the old index or the new one, never a torn mix). The caller
+    writes meta (the doc-path guard and the tag's ordinal source)
+    LAST."""
+    _staged_partition_append(
+        lambda d: _write_bands(new_bands, d, num_parts),
+        os.path.join(index_dir, "bands"), tag)
+    new_labels = cluster_labels(edges)  # materializes internally
+    for name, ds, schema in (("labels", new_labels, _LABELS_SCHEMA),
+                             ("kept", kept, _KEPT_SCHEMA)):
+        tmp = os.path.join(index_dir, name + ".tmp")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        _write_ds(ds, tmp, schema)
+        final = os.path.join(index_dir, name)
+        shutil.rmtree(final)
+        os.replace(tmp, final)
 
 
 def _staged_partition_append(write_fn, live_dir: str, tag: str) -> None:
@@ -333,31 +367,17 @@ def dedup_minhash_incremental(new_dir: str, index_dir: str,
 
     old_labels = rd.read_parquet(os.path.join(index_dir, "labels"))
     old_kept = rd.read_parquet(os.path.join(index_dir, "kept"))
-    edges = verified.union(_labels_as_edges(old_labels))
+    # materialize: edges feeds both the kept computation and (on the
+    # update path) cluster_labels — without this the labels read +
+    # union re-execute per consumer
+    edges = verified.union(_labels_as_edges(old_labels)).materialize()
     universe = _distinct_ids(old_kept.union(_doc_ids(new_docs)))
     kept = _keep_after_pairs(universe, edges)
 
     if not update_index:
         return kept
 
-    # fold the increment in: bands append (tag-staged — a crash-retry
-    # purges and re-moves the same files instead of double-appending);
-    # labels/kept rewrite via tmp dirs + atomic swap (a crash
-    # mid-update leaves the old index or the new one, never a torn mix
-    # of labels and kept)
-    _staged_partition_append(
-        lambda d: _write_bands(new_bands, d, num_parts),
-        os.path.join(index_dir, "bands"), tag)
-    new_labels = cluster_labels(edges)  # materializes internally
-    for name, ds, schema in (("labels", new_labels, _LABELS_SCHEMA),
-                             ("kept", kept, _KEPT_SCHEMA)):
-        tmp = os.path.join(index_dir, name + ".tmp")
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        _write_ds(ds, tmp, schema)
-        final = os.path.join(index_dir, name)
-        shutil.rmtree(final)
-        os.replace(tmp, final)
+    _fold_band_index(index_dir, new_bands, num_parts, tag, edges, kept)
     meta["doc_paths"].append(new_doc_path)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -386,6 +406,24 @@ _EXACT_SCHEMA = pa.schema([("h", pa.string()), ("doc_id", pa.int64()),
                            ("n_dups", pa.int64())])
 
 
+def _merge_lsm_rows(g: pd.DataFrame, keep_hb: bool = True) -> pd.DataFrame:
+    """THE exact-index merge rule — keep-min keeper, summed counts per
+    hash. One definition shared by the minima build, the probe's
+    old-side merge, the kept view, and compaction, so the pinned
+    'compaction/probe/view all agree' invariants cannot drift."""
+    if keep_hb:
+        out = g.groupby("h", as_index=False).agg(
+            hb=("hb", "first"), doc_id=("doc_id", "min"),
+            n_dups=("n_dups", "sum"))
+        cols = ["h", "hb", "doc_id", "n_dups"]
+    else:
+        out = g.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+        cols = ["h", "doc_id", "n_dups"]
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out[cols]
+
+
 def _exact_minima(docs_dir: str, num_parts: int) -> "rd.Dataset":
     """One corpus -> (h, hb, doc_id=min, n_dups) per distinct text —
     the same partial/bucketed-combine shape as ``library.dedup_exact``
@@ -404,17 +442,10 @@ def _exact_minima(docs_dir: str, num_parts: int) -> "rd.Dataset":
         out = pa.Table.from_pandas(agg, preserve_index=False)
         return out.append_column("hb", bucket_ids(out["h"], num_parts))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", as_index=False).agg(
-            hb=("hb", "first"), doc_id=("doc_id", "min"),
-            n_dups=("n_dups", "sum"))
-        out["n_dups"] = out["n_dups"].astype("int64")
-        return out[["h", "hb", "doc_id", "n_dups"]]
-
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("hb")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(_merge_lsm_rows, batch_format="pandas")
     )
 
 
@@ -491,8 +522,7 @@ def dedup_exact_incremental(new_dir: str, index_dir: str,
                               filters=[("h", "in", keys)])
             if t.num_rows:
                 # LSM merge of prior increments' rows for these hashes
-                old = t.to_pandas().groupby("h", as_index=False).agg(
-                    doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+                old = _merge_lsm_rows(t.to_pandas(), keep_hb=False)
         m = g[["h", "doc_id", "n_dups"]]
         if old is None or old.empty:
             out = m.copy()
@@ -561,10 +591,7 @@ def exact_index_kept(index_dir: str) -> "rd.Dataset":
     ds = rd.read_parquet(_exact_data_dir(index_dir))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", as_index=False).agg(
-            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
-        out["n_dups"] = out["n_dups"].astype("int64")
-        return out[["doc_id", "n_dups"]]
+        return _merge_lsm_rows(g, keep_hb=False)[["doc_id", "n_dups"]]
 
     return ds.groupby("hb").map_groups(per_bucket, batch_format="pandas")
 
@@ -617,17 +644,10 @@ def exact_index_compact(index_dir: str) -> None:
     if os.path.isdir(gen):
         shutil.rmtree(gen)  # partial previous attempt
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("h", as_index=False).agg(
-            hb=("hb", "first"), doc_id=("doc_id", "min"),
-            n_dups=("n_dups", "sum"))
-        out["n_dups"] = out["n_dups"].astype("int64")
-        return out[["h", "hb", "doc_id", "n_dups"]]
-
     (
         rd.read_parquet(data_dir)
         .groupby("hb")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(_merge_lsm_rows, batch_format="pandas")
         .sort(["hb", "h"])
         .write_parquet(gen, partition_cols=["hb"])
     )
@@ -659,24 +679,25 @@ def build_embdedup_index(sf_dir: str, index_dir: str,
                          num_band_parts: int = _BAND_PARTS) -> None:
     """Run the from-scratch embedding near-dup over
     ``<sf_dir>/embeddings.parquet`` and persist bands + labels + kept
-    (the ``build_dedup_index`` layout; meta pins the plane geometry so
-    increments band identically)."""
+    (the ``build_dedup_index`` layout) PLUS the hyperplane tensor
+    itself (``planes.npy``) — increments must band under the exact
+    planes that produced the stored rows, and NumPy Generator streams
+    are not version-stable, so the seed alone is not durable (the same
+    reason ``build_ivf_index`` persists centroids.npy)."""
     from .dedup import (
         _embedding_band_rows,
         _embedding_dim,
+        _hyperplanes,
         _verify_cosine_ds,
     )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     dim = _embedding_dim(emb_path)
-    bands = _embedding_band_rows(emb_path, dim, n_bands,
-                                 planes_per_band, seed).materialize()
+    planes = _hyperplanes(dim, n_bands, planes_per_band, seed)
+    bands = _embedding_band_rows(emb_path, planes).materialize()
     pairs, n_raw = _pairs_dataset(bands, _all_pairs)
     verified = _verify_cosine_ds(emb_path, pairs, threshold,
                                  n_upper=n_raw).materialize()
-    ids = rd.read_parquet(emb_path, columns=["vec_id"]).map_batches(
-        lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
-        batch_format="pyarrow")
 
     tmp = index_dir + ".tmp"
     if os.path.isdir(tmp):
@@ -685,8 +706,9 @@ def build_embdedup_index(sf_dir: str, index_dir: str,
     _write_bands(bands, os.path.join(tmp, "bands"), num_band_parts)
     _write_ds(cluster_labels(verified), os.path.join(tmp, "labels"),
               _LABELS_SCHEMA)
-    _write_ds(_keep_after_pairs(ids, verified),
+    _write_ds(_keep_after_pairs(_vec_ids_as_doc_ids(emb_path), verified),
               os.path.join(tmp, "kept"), _KEPT_SCHEMA)
+    np.save(os.path.join(tmp, "planes.npy"), planes)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"dim": dim, "n_bands": n_bands,
                    "planes_per_band": planes_per_band, "seed": seed,
@@ -705,10 +727,11 @@ def neardup_embedding_incremental(new_dir: str, index_dir: str,
     index without re-banding the history (band probes + vec_id-pushdown
     cosine verify only). Returns the kept ids over old ∪ new — bitwise
     the set a from-scratch ``neardup_embedding`` over the concatenated
-    corpus returns (same plane geometry by meta). ``update_index=True``
-    folds the increment in (tag-staged band append, labels/kept atomic
-    rewrite — the shared crash contract) so increments chain. The new
-    shard's embedding width must match the indexed ``dim``."""
+    corpus returns (same plane tensor — loaded from the index, never
+    re-derived from the seed). ``update_index=True`` folds the
+    increment in (tag-staged band append, labels/kept atomic rewrite —
+    the shared crash contract) so increments chain. The new shard's
+    embedding width must match the indexed ``dim``."""
     from .dedup import (
         _embedding_band_rows,
         _embedding_dim,
@@ -718,21 +741,20 @@ def neardup_embedding_incremental(new_dir: str, index_dir: str,
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     num_parts = meta["num_band_parts"]
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
     new_emb_path = os.path.abspath(
         os.path.join(new_dir, "embeddings.parquet"))
     if new_emb_path in meta["emb_paths"]:
         raise ValueError(f"{new_emb_path} is already in the index")
     dim = _embedding_dim(new_emb_path)
-    if dim != meta["dim"]:
+    if dim != planes.shape[1]:
         raise ValueError(
-            f"embedding dim {dim} != indexed dim {meta['dim']}")
+            f"embedding dim {dim} != indexed dim {planes.shape[1]}")
 
     tag = f"inc{len(meta['emb_paths']):05d}"
     _purge_tagged(os.path.join(index_dir, "bands"), tag)
 
-    new_bands = _embedding_band_rows(
-        new_emb_path, dim, meta["n_bands"], meta["planes_per_band"],
-        meta["seed"]).materialize()
+    new_bands = _embedding_band_rows(new_emb_path, planes).materialize()
 
     nn_pairs, nn_raw = _pairs_dataset(new_bands, _all_pairs)
     no_raw = _probe_band_index(new_bands,
@@ -748,30 +770,17 @@ def neardup_embedding_incremental(new_dir: str, index_dir: str,
 
     old_labels = rd.read_parquet(os.path.join(index_dir, "labels"))
     old_kept = rd.read_parquet(os.path.join(index_dir, "kept"))
-    new_ids = rd.read_parquet(new_emb_path, columns=["vec_id"]) \
-        .map_batches(
-            lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
-            batch_format="pyarrow")
-    edges = verified.union(_labels_as_edges(old_labels))
-    universe = _distinct_ids(old_kept.union(new_ids))
+    # materialize: edges feeds both the kept computation and (on the
+    # update path) cluster_labels inside _fold_band_index
+    edges = verified.union(_labels_as_edges(old_labels)).materialize()
+    universe = _distinct_ids(
+        old_kept.union(_vec_ids_as_doc_ids(new_emb_path)))
     kept = _keep_after_pairs(universe, edges)
 
     if not update_index:
         return kept
 
-    _staged_partition_append(
-        lambda d: _write_bands(new_bands, d, num_parts),
-        os.path.join(index_dir, "bands"), tag)
-    new_labels = cluster_labels(edges)
-    for name, ds, schema in (("labels", new_labels, _LABELS_SCHEMA),
-                             ("kept", kept, _KEPT_SCHEMA)):
-        t = os.path.join(index_dir, name + ".tmp")
-        if os.path.isdir(t):
-            shutil.rmtree(t)
-        _write_ds(ds, t, schema)
-        final = os.path.join(index_dir, name)
-        shutil.rmtree(final)
-        os.replace(t, final)
+    _fold_band_index(index_dir, new_bands, num_parts, tag, edges, kept)
     meta["emb_paths"].append(new_emb_path)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
