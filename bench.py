@@ -289,6 +289,8 @@ def _run_library_queries(timed, t_dir: str, p_dir: str) -> None:
           lambda: _entry.queries()["dedup_minhash_incremental"](SF_DIR))
     timed("dedup_exact_incremental",
           lambda: _entry.queries()["dedup_exact_incremental"](SF_DIR))
+    timed("neardup_embedding_incremental",
+          lambda: _entry.queries()["neardup_embedding_incremental"](SF_DIR))
 
 
 def _burn(_):
