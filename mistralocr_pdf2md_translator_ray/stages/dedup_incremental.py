@@ -1,8 +1,21 @@
-"""Incremental MinHash near-dup against a PERSISTED band index.
+"""Incremental dedup against PERSISTED indexes — the growing-corpus
+path a 100-TB pipeline actually runs: the corpus was deduped once; new
+shards land daily; re-processing the whole history per increment is
+O(corpus) per day, so every blocking family here has an O(new) path:
 
-The growing-corpus path a 100-TB pipeline actually runs: the corpus was
-deduped once; new shards land daily; re-banding and re-verifying the
-whole history per increment is O(corpus) per day. Instead,
+- MinHash near-dup        build_dedup_index / dedup_minhash_incremental
+- exact (content-hash)    build_exact_index / dedup_exact_incremental
+                          (+ exact_index_kept / exact_index_compact)
+- hyperplane-LSH (embed)  build_embdedup_index /
+                          neardup_embedding_incremental
+- (IVF ANN lives in stages/similarity.py: append_to_ivf_index)
+
+All share one crash contract: appends land via the tag-staged move
+protocol (`_staged_partition_append` — deterministic inc-ordinal file
+names, purge-then-move, meta written LAST), so a crash-retry can never
+double-append; folds of labels/kept swap atomically via tmp dirs.
+
+The MinHash design in detail (the band families mirror it):
 ``build_dedup_index`` persists the dedup run's three artifacts —
 
   <index_dir>/bands/bb=<k>/   (band_key, doc_id) for EVERY old doc
