@@ -710,6 +710,15 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
     return _keep_after_pairs(docs, verified)
 
 
+def _vec_ids_as_doc_ids(emb_path: str) -> "rd.Dataset":
+    """embeddings parquet -> Dataset[doc_id] (vec_id renamed — the
+    dedup machinery's uniform id column). The ONE rename shared by the
+    from-scratch and incremental embedding paths."""
+    return rd.read_parquet(emb_path, columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _embedding_dim(emb_path: str) -> int:
     """Probe the embedding width from the parquet schema (fixed-size
     list) or one driver-side record batch — never a Ray execution
@@ -803,11 +812,7 @@ def neardup_embedding(sf_dir: str, threshold: float = 0.95,
         emb_path, _hyperplanes(dim, n_bands, planes_per_band, seed))
     pairs, n_raw = _pairs_dataset(buckets, _all_pairs)
     verified = _verify_cosine_ds(emb_path, pairs, threshold, n_upper=n_raw)
-    keep_docs = rd.read_parquet(emb_path, columns=["vec_id"]).map_batches(
-        lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
-        batch_format="pyarrow",
-    )
-    return _keep_after_pairs(keep_docs, verified)
+    return _keep_after_pairs(_vec_ids_as_doc_ids(emb_path), verified)
 
 
 def dedup_spans(sf_dir: str, span_tokens: int = 16,

@@ -12,8 +12,10 @@ O(corpus) per day, so every blocking family here has an O(new) path:
 
 All share one crash contract: appends land via the tag-staged move
 protocol (`_staged_partition_append` — deterministic inc-ordinal file
-names, purge-then-move, meta written LAST), so a crash-retry can never
-double-append; folds of labels/kept swap atomically via tmp dirs.
+names, purge-then-move, meta written LAST and atomically), so a
+crash-retry can never double-append; labels/kept fold via a
+generation swap (`.next` written fully, retire, rename) that
+`_healed_subdir` completes on next access if interrupted.
 
 The MinHash design in detail (the band families mirror it):
 ``build_dedup_index`` persists the dedup run's three artifacts —
@@ -82,6 +84,7 @@ from .dedup import (
     _minhash_band_rows,
     _pairs_dataset,
     _read_docs,
+    _vec_ids_as_doc_ids,
     _verify_jaccard_ds,
     cluster_labels,
 )
@@ -122,14 +125,6 @@ def _labels_as_edges(labels: "rd.Dataset") -> "rd.Dataset":
     return labels.map_batches(
         lambda t: pa.table({"a": t["cluster_id"].cast(pa.int64()),
                             "b": t["doc_id"].cast(pa.int64())}),
-        batch_format="pyarrow")
-
-
-def _vec_ids_as_doc_ids(emb_path: str) -> "rd.Dataset":
-    """embeddings parquet -> Dataset[doc_id] (vec_id renamed — the
-    dedup machinery's uniform id column)."""
-    return rd.read_parquet(emb_path, columns=["vec_id"]).map_batches(
-        lambda t: pa.table({"doc_id": t["vec_id"].cast(pa.int64())}),
         batch_format="pyarrow")
 
 
@@ -180,6 +175,49 @@ def _purge_tagged(live_dir: str, tag: str) -> None:
                 os.remove(os.path.join(root, f))
 
 
+def _healed_subdir(index_dir: str, name: str) -> str:
+    """Resolve (and heal) a swap-replaced index subdir (labels/kept).
+    ``_fold_band_index`` writes the next generation to ``<name>.next``
+    COMPLETELY before retiring the old one, so if ``<name>`` is absent
+    the ``.next`` (or ``.retired``) on disk is a complete generation —
+    promote it. Mirrors ``_exact_data_dir``'s generation heal."""
+    final = os.path.join(index_dir, name)
+    if not os.path.isdir(final):
+        for cand in (final + ".next", final + ".retired"):
+            if os.path.isdir(cand):
+                os.rename(cand, final)
+                break
+    retired = final + ".retired"
+    if os.path.isdir(final) and os.path.isdir(retired):
+        shutil.rmtree(retired)  # swap completed, old generation is junk
+    return final
+
+
+def _swap_in(final: str) -> None:
+    """Promote a fully-written ``<final>.next`` generation: retire the
+    old dir, rename the new one in, drop the retired copy. A crash at
+    any point leaves a complete generation reachable by
+    ``_healed_subdir`` (old, or new via ``.next``/``.retired``) —
+    never a missing or half-written dir."""
+    retired = final + ".retired"
+    if os.path.isdir(retired):
+        shutil.rmtree(retired)
+    os.rename(final, retired)
+    os.rename(final + ".next", final)
+    shutil.rmtree(retired)
+
+
+def _save_meta_atomic(index_dir: str, meta: dict) -> None:
+    """meta.json is the keystone of the tag-retry protocol (the
+    increment ordinal derives from it) — write tmp + os.replace so a
+    crash can never truncate it."""
+    path = os.path.join(index_dir, "meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
 def _fold_band_index(index_dir: str, new_bands: "rd.Dataset",
                      num_parts: int, tag: str, edges: "rd.Dataset",
                      kept: "rd.Dataset") -> None:
@@ -187,23 +225,23 @@ def _fold_band_index(index_dir: str, new_bands: "rd.Dataset",
     hyperplane-LSH — one implementation so the crash contract cannot
     drift between families): tag-staged band append (a crash-retry
     purges and re-moves the same files, never double-appends), then
-    labels/kept rewrite via tmp dirs + atomic swap (a crash mid-update
-    leaves the old index or the new one, never a torn mix). The caller
+    labels/kept generation swap (write ``.next`` fully, retire, rename
+    — a crash leaves a complete generation reachable via
+    ``_healed_subdir``, never a missing or torn dir). The caller
     writes meta (the doc-path guard and the tag's ordinal source)
-    LAST."""
+    LAST, atomically."""
     _staged_partition_append(
         lambda d: _write_bands(new_bands, d, num_parts),
         os.path.join(index_dir, "bands"), tag)
     new_labels = cluster_labels(edges)  # materializes internally
     for name, ds, schema in (("labels", new_labels, _LABELS_SCHEMA),
                              ("kept", kept, _KEPT_SCHEMA)):
-        tmp = os.path.join(index_dir, name + ".tmp")
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        _write_ds(ds, tmp, schema)
-        final = os.path.join(index_dir, name)
-        shutil.rmtree(final)
-        os.replace(tmp, final)
+        final = _healed_subdir(index_dir, name)
+        nxt = final + ".next"
+        if os.path.isdir(nxt):
+            shutil.rmtree(nxt)
+        _write_ds(ds, nxt, schema)
+        _swap_in(final)
 
 
 def _staged_partition_append(write_fn, live_dir: str, tag: str) -> None:
@@ -378,8 +416,8 @@ def dedup_minhash_incremental(new_dir: str, index_dir: str,
         meta["doc_paths"] + [new_doc_path], pairs, char_shingles,
         threshold, n_upper=nn_raw + no_n).materialize()
 
-    old_labels = rd.read_parquet(os.path.join(index_dir, "labels"))
-    old_kept = rd.read_parquet(os.path.join(index_dir, "kept"))
+    old_labels = rd.read_parquet(_healed_subdir(index_dir, "labels"))
+    old_kept = rd.read_parquet(_healed_subdir(index_dir, "kept"))
     # materialize: edges feeds both the kept computation and (on the
     # update path) cluster_labels — without this the labels read +
     # union re-execute per consumer
@@ -392,9 +430,8 @@ def dedup_minhash_incremental(new_dir: str, index_dir: str,
 
     _fold_band_index(index_dir, new_bands, num_parts, tag, edges, kept)
     meta["doc_paths"].append(new_doc_path)
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
-    return rd.read_parquet(os.path.join(index_dir, "kept"))
+    _save_meta_atomic(index_dir, meta)
+    return rd.read_parquet(_healed_subdir(index_dir, "kept"))
 
 
 # ---------------------------------------------------------------------------
@@ -590,8 +627,7 @@ def dedup_exact_incremental(new_dir: str, index_dir: str,
             lambda d: _append_exact_rows(minima, d, num_parts),
             data_dir, tag)
         meta["doc_paths"].append(new_doc_path)
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        _save_meta_atomic(index_dir, meta)
     return delta
 
 
@@ -754,7 +790,13 @@ def neardup_embedding_incremental(new_dir: str, index_dir: str,
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     num_parts = meta["num_band_parts"]
-    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    planes_path = os.path.join(index_dir, "planes.npy")
+    if not os.path.exists(planes_path):
+        raise ValueError(
+            f"{index_dir} has no planes.npy — it predates the persisted-"
+            "plane index format (seed-only indexes are not durable "
+            "across numpy upgrades); rebuild with build_embdedup_index")
+    planes = np.load(planes_path)
     new_emb_path = os.path.abspath(
         os.path.join(new_dir, "embeddings.parquet"))
     if new_emb_path in meta["emb_paths"]:
@@ -781,8 +823,8 @@ def neardup_embedding_incremental(new_dir: str, index_dir: str,
         _emb_files(meta["emb_paths"] + [new_emb_path]), pairs,
         meta["threshold"], n_upper=nn_raw + no_n).materialize()
 
-    old_labels = rd.read_parquet(os.path.join(index_dir, "labels"))
-    old_kept = rd.read_parquet(os.path.join(index_dir, "kept"))
+    old_labels = rd.read_parquet(_healed_subdir(index_dir, "labels"))
+    old_kept = rd.read_parquet(_healed_subdir(index_dir, "kept"))
     # materialize: edges feeds both the kept computation and (on the
     # update path) cluster_labels inside _fold_band_index
     edges = verified.union(_labels_as_edges(old_labels)).materialize()
@@ -795,9 +837,8 @@ def neardup_embedding_incremental(new_dir: str, index_dir: str,
 
     _fold_band_index(index_dir, new_bands, num_parts, tag, edges, kept)
     meta["emb_paths"].append(new_emb_path)
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
-    return rd.read_parquet(os.path.join(index_dir, "kept"))
+    _save_meta_atomic(index_dir, meta)
+    return rd.read_parquet(_healed_subdir(index_dir, "kept"))
 
 
 def _emb_files(paths: list) -> list:

@@ -568,3 +568,41 @@ class TestIncrementalEmbeddingNearDup:
                      [(99, np.ones(8) / np.sqrt(8))], dim=8)
         with pytest.raises(ValueError, match="dim"):
             neardup_embedding_incremental(bad, idx)
+
+
+class TestFoldGenerationHeal:
+    def test_interrupted_labels_kept_swap_heals(self, tmp_path,
+                                                ray_session):
+        """Simulate a crash between the fold's two renames (labels/
+        kept dir retired, complete .next stranded): the next read must
+        promote the stranded generation and the next increment must
+        work — the index is never bricked."""
+        import shutil
+
+        from mistralocr_pdf2md_translator_ray.stages.dedup import dedup_minhash
+        from mistralocr_pdf2md_translator_ray.stages.dedup_incremental import (
+            build_dedup_index,
+            dedup_minhash_incremental,
+        )
+
+        near = BASE.replace("lazy dog", "sleepy dog")
+        old = _mkcorpus(tmp_path, "ho", [(1, BASE), (2, OTHER)])
+        new = _mkcorpus(tmp_path, "hn", [(10, near), (11, THIRD)])
+        concat = _mkcorpus(tmp_path, "hc",
+                           [(1, BASE), (2, OTHER), (10, near),
+                            (11, THIRD)])
+        idx = str(tmp_path / "hidx")
+        build_dedup_index(old, idx)
+        dedup_minhash_incremental(new, idx, update_index=True)
+
+        # crash state b: kept retired, complete .next stranded
+        kept = os.path.join(idx, "kept")
+        shutil.move(kept, kept + ".retired")
+        shutil.copytree(kept + ".retired", kept + ".next")
+        got = _kept(rd.read_parquet(
+            __import__("mistralocr_pdf2md_translator_ray.stages.dedup_incremental",
+                       fromlist=["x"])._healed_subdir(idx, "kept")))
+        assert got == _kept(dedup_minhash(concat))
+        assert os.path.isdir(kept)
+        assert not os.path.isdir(kept + ".next")
+        assert not os.path.isdir(kept + ".retired")
