@@ -175,15 +175,19 @@ def _purge_tagged(live_dir: str, tag: str) -> None:
                 os.remove(os.path.join(root, f))
 
 
-def _healed_subdir(index_dir: str, name: str) -> str:
+def _healed_subdir(index_dir: str, name: str,
+                   staged: str = ".next") -> str:
     """Resolve (and heal) a swap-replaced index subdir (labels/kept).
     ``_fold_band_index`` writes the next generation to ``<name>.next``
     COMPLETELY before retiring the old one, so if ``<name>`` is absent
     the ``.next`` (or ``.retired``) on disk is a complete generation —
-    promote it. Mirrors ``_exact_data_dir``'s generation heal."""
+    promote it. ``staged`` names the fully-written-next-generation
+    suffix (``.next`` for folds, ``.compact`` for compaction) — the
+    staged candidate is preferred over ``.retired`` because it is the
+    NEWER complete generation."""
     final = os.path.join(index_dir, name)
     if not os.path.isdir(final):
-        for cand in (final + ".next", final + ".retired"):
+        for cand in (final + staged, final + ".retired"):
             if os.path.isdir(cand):
                 os.rename(cand, final)
                 break
@@ -193,29 +197,73 @@ def _healed_subdir(index_dir: str, name: str) -> str:
     return final
 
 
-def _swap_in(final: str) -> None:
-    """Promote a fully-written ``<final>.next`` generation: retire the
-    old dir, rename the new one in, drop the retired copy. A crash at
-    any point leaves a complete generation reachable by
-    ``_healed_subdir`` (old, or new via ``.next``/``.retired``) —
-    never a missing or half-written dir."""
+def _swap_in(final: str, staged: str = ".next") -> None:
+    """Promote a fully-written ``<final><staged>`` generation: retire
+    the old dir, rename the new one in, drop the retired copy. A crash
+    at any point leaves a complete generation reachable by
+    ``_healed_subdir`` (old, or new via the staged/``.retired``
+    candidates) — never a missing or half-written dir. The ONE swap
+    implementation for folds and compaction."""
     retired = final + ".retired"
     if os.path.isdir(retired):
         shutil.rmtree(retired)
     os.rename(final, retired)
-    os.rename(final + ".next", final)
+    os.rename(final + staged, final)
     shutil.rmtree(retired)
 
 
 def _save_meta_atomic(index_dir: str, meta: dict) -> None:
     """meta.json is the keystone of the tag-retry protocol (the
-    increment ordinal derives from it) — write tmp + os.replace so a
-    crash can never truncate it."""
+    increment ordinal derives from it) — fsync'd tmp + os.replace so
+    neither a process crash nor a power loss shortly after can leave
+    it truncated."""
     path = os.path.join(index_dir, "meta.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+_FOLDING = "_folding.json"
+
+
+def _fold_guard_check(index_dir: str, input_path: str) -> None:
+    """The fold updates bands/labels/kept/meta — each crash-safe alone,
+    but consistent ACROSS artifacts only if a crashed fold is retried
+    with the SAME increment (the retry reconverges: the star-edge
+    union is idempotent). Enforce that: any query against an index
+    with a pending fold of a DIFFERENT input is refused — otherwise
+    the half-folded increment's cluster merges (already in labels)
+    would silently pollute this call's kept set."""
+    path = os.path.join(index_dir, _FOLDING)
+    if os.path.exists(path):
+        with open(path) as f:
+            pending = json.load(f)
+        if pending.get("input_path") != input_path:
+            raise RuntimeError(
+                f"index {index_dir} has an incomplete fold of "
+                f"{pending.get('input_path')!r} (tag {pending.get('tag')}) "
+                f"— retry THAT increment to completion before using the "
+                f"index with {input_path!r}")
+
+
+def _fold_guard_mark(index_dir: str, tag: str, input_path: str) -> None:
+    """Record the in-flight increment before the fold's first mutation
+    (fsync'd tmp + replace, like meta)."""
+    path = os.path.join(index_dir, _FOLDING)
+    with open(path + ".tmp", "w") as f:
+        json.dump({"tag": tag, "input_path": input_path}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(path + ".tmp", path)
+
+
+def _fold_guard_exit(index_dir: str) -> None:
+    path = os.path.join(index_dir, _FOLDING)
+    if os.path.exists(path):
+        os.remove(path)
 
 
 def _fold_band_index(index_dir: str, new_bands: "rd.Dataset",
@@ -227,9 +275,11 @@ def _fold_band_index(index_dir: str, new_bands: "rd.Dataset",
     purges and re-moves the same files, never double-appends), then
     labels/kept generation swap (write ``.next`` fully, retire, rename
     — a crash leaves a complete generation reachable via
-    ``_healed_subdir``, never a missing or torn dir). The caller
-    writes meta (the doc-path guard and the tag's ordinal source)
-    LAST, atomically."""
+    ``_healed_subdir``, never a missing or torn dir). Cross-artifact
+    consistency relies on retry-the-same-increment, which
+    ``_fold_guard_enter`` enforces. The caller writes meta (the
+    doc-path guard and the tag's ordinal source) LAST, atomically,
+    then clears the fold guard."""
     _staged_partition_append(
         lambda d: _write_bands(new_bands, d, num_parts),
         os.path.join(index_dir, "bands"), tag)
@@ -390,6 +440,7 @@ def dedup_minhash_incremental(new_dir: str, index_dir: str,
     # is the increment ordinal (stable across retries — meta is written
     # LAST), and its partial band files must not be probed as "old"
     tag = f"inc{len(meta['doc_paths']):05d}"
+    _fold_guard_check(index_dir, new_doc_path)
     _purge_tagged(os.path.join(index_dir, "bands"), tag)
 
     new_docs = _read_docs(new_dir)
@@ -428,10 +479,14 @@ def dedup_minhash_incremental(new_dir: str, index_dir: str,
     if not update_index:
         return kept
 
+    _fold_guard_mark(index_dir, tag, new_doc_path)
     _fold_band_index(index_dir, new_bands, num_parts, tag, edges, kept)
     meta["doc_paths"].append(new_doc_path)
     _save_meta_atomic(index_dir, meta)
-    return rd.read_parquet(_healed_subdir(index_dir, "kept"))
+    _fold_guard_exit(index_dir)
+    # materialize: the NEXT increment's generation swap deletes these
+    # files underneath a lazily-bound Dataset
+    return rd.read_parquet(_healed_subdir(index_dir, "kept")).materialize()
 
 
 # ---------------------------------------------------------------------------
@@ -646,21 +701,12 @@ def exact_index_kept(index_dir: str) -> "rd.Dataset":
 
 
 def _exact_data_dir(index_dir: str) -> str:
-    """Resolve (and heal) the exact index's data generation. A crash
-    between compaction's two renames leaves ``data`` absent with the
-    fully-written next generation (``data.compact``) or the retired
-    old one (``data.retired``) on disk — promote whichever exists so
-    every reader sees a complete generation, never a mix."""
-    data = os.path.join(index_dir, "data")
-    if not os.path.isdir(data):
-        for cand in (data + ".compact", data + ".retired"):
-            if os.path.isdir(cand):
-                os.rename(cand, data)
-                break
-    retired = data + ".retired"
-    if os.path.isdir(data) and os.path.isdir(retired):
-        shutil.rmtree(retired)  # swap completed, old generation is junk
-    return data
+    """Resolve (and heal) the exact index's data generation — the
+    shared ``_healed_subdir`` machinery with compaction's staged
+    suffix. A crash between compaction's two renames leaves ``data``
+    absent with the fully-written ``data.compact`` (or the retired old
+    one) on disk; readers promote it and never see a mix."""
+    return _healed_subdir(index_dir, "data", staged=".compact")
 
 
 def exact_index_compact(index_dir: str) -> None:
@@ -700,12 +746,7 @@ def exact_index_compact(index_dir: str) -> None:
         .sort(["hb", "h"])
         .write_parquet(gen, partition_cols=["hb"])
     )
-    retired = data_dir + ".retired"
-    if os.path.isdir(retired):
-        shutil.rmtree(retired)
-    os.rename(data_dir, retired)
-    os.rename(gen, data_dir)
-    shutil.rmtree(retired)
+    _swap_in(data_dir, staged=".compact")
 
 
 # ---------------------------------------------------------------------------
@@ -807,6 +848,7 @@ def neardup_embedding_incremental(new_dir: str, index_dir: str,
             f"embedding dim {dim} != indexed dim {planes.shape[1]}")
 
     tag = f"inc{len(meta['emb_paths']):05d}"
+    _fold_guard_check(index_dir, new_emb_path)
     _purge_tagged(os.path.join(index_dir, "bands"), tag)
 
     new_bands = _embedding_band_rows(new_emb_path, planes).materialize()
@@ -835,10 +877,14 @@ def neardup_embedding_incremental(new_dir: str, index_dir: str,
     if not update_index:
         return kept
 
+    _fold_guard_mark(index_dir, tag, new_emb_path)
     _fold_band_index(index_dir, new_bands, num_parts, tag, edges, kept)
     meta["emb_paths"].append(new_emb_path)
     _save_meta_atomic(index_dir, meta)
-    return rd.read_parquet(_healed_subdir(index_dir, "kept"))
+    _fold_guard_exit(index_dir)
+    # materialize: the NEXT increment's generation swap deletes these
+    # files underneath a lazily-bound Dataset
+    return rd.read_parquet(_healed_subdir(index_dir, "kept")).materialize()
 
 
 def _emb_files(paths: list) -> list:

@@ -595,14 +595,56 @@ class TestFoldGenerationHeal:
         build_dedup_index(old, idx)
         dedup_minhash_incremental(new, idx, update_index=True)
 
-        # crash state b: kept retired, complete .next stranded
+        # crash state b with DIFFERING generations: .retired holds a
+        # decoy OLD generation, .next the real new one — a heal that
+        # promoted the wrong candidate would roll the index back and
+        # this assert would catch it
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
         kept = os.path.join(idx, "kept")
-        shutil.move(kept, kept + ".retired")
-        shutil.copytree(kept + ".retired", kept + ".next")
+        shutil.move(kept, kept + ".next")
+        os.makedirs(kept + ".retired")
+        _pq.write_table(_pa.table({"doc_id": _pa.array([999], _pa.int64())}),
+                        os.path.join(kept + ".retired", "stale.parquet"))
         got = _kept(rd.read_parquet(
             __import__("mistralocr_pdf2md_translator_ray.stages.dedup_incremental",
                        fromlist=["x"])._healed_subdir(idx, "kept")))
         assert got == _kept(dedup_minhash(concat))
+        assert 999 not in got                       # decoy NOT promoted
         assert os.path.isdir(kept)
         assert not os.path.isdir(kept + ".next")
         assert not os.path.isdir(kept + ".retired")
+
+    def test_fold_guard_refuses_different_shard_after_crash(
+            self, tmp_path, ray_session):
+        """A crashed fold leaves cross-artifact state consistent only
+        for a retry of the SAME increment; folding (or querying with)
+        a DIFFERENT shard must be refused until then."""
+        from mistralocr_pdf2md_translator_ray.stages import (
+            dedup_incremental as di,
+        )
+
+        old = _mkcorpus(tmp_path, "go", [(1, BASE), (2, OTHER)])
+        a = _mkcorpus(tmp_path, "ga", [(10, THIRD)])
+        b = _mkcorpus(tmp_path, "gb", [(20, "some other delivery")])
+        idx = str(tmp_path / "gidx")
+        di.build_dedup_index(old, idx)
+
+        # simulate increment A crashing mid-fold: the guard marker is
+        # on disk, meta never updated
+        a_path = os.path.join(os.path.abspath(a), "documents.parquet")
+        di._fold_guard_mark(idx, "inc00001", a_path)
+
+        with pytest.raises(RuntimeError, match="incomplete fold"):
+            di.dedup_minhash_incremental(b, idx)
+
+        # retrying THE SAME increment proceeds and clears the guard
+        kept = _kept(di.dedup_minhash_incremental(a, idx,
+                                                  update_index=True))
+        assert kept == [1, 2, 10]
+        assert not os.path.exists(os.path.join(idx, "_folding.json"))
+        # and afterwards B folds normally
+        kept2 = _kept(di.dedup_minhash_incremental(b, idx,
+                                                   update_index=True))
+        assert kept2 == [1, 2, 10, 20]
